@@ -1,0 +1,230 @@
+"""The device classify step: one jit'd function from base codes to verdicts.
+
+Per batch of padded reads [B, L] it computes, entirely on device:
+
+  1. rolling canonical k-mers of every valid window (uint32 limb pairs);
+  2. bit-exact XXH64 and reduction modulo the Bloom size;
+  3. gather probes into the Bloom bit-vector + per-word rank;
+  4. CSR gathers of each hit k-mer's gene list (max-degree static unroll);
+  5. a sort-based segmented coverage reduction.
+
+Step 5 is the key TPU-ization. The reference accumulates, per (read, gene),
+cov += min(k, pos - last) sequentially over k-mer positions
+(ReadAnalyzer.hpp:56-86). That recurrence equals the size of the union of
+k-length intervals ending at the gene's hit positions, which is order-free:
+sort the (gene, pos) hit pairs of each read, then within each equal-gene
+segment the contribution of a hit is min(k, pos_i - pos_{i-1}) and the
+segment head contributes k. (Head equivalence: the reference adds
+min(k, e+1) for a first probe and min(k, e - 0) for a first rolling hit;
+both are k because any window end e >= k-1.) Segment sums come from cumsums
+and a cummax-carried segment base; winners are the argmax segments by
+lexicographic (cov, hits) with ties kept, exactly as the reference's
+std::map scan (ReadAnalyzer.hpp:90-102).
+
+The cov >= c*len emission threshold is applied on the host in float64 to
+reproduce the reference's double-precision compare (ReadAnalyzer.hpp:104).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shark_tpu.index.structure import SharkIndex
+from shark_tpu.ops import u64
+from shark_tpu.ops.kmers import INVALID, canonical_kmers_jax
+from shark_tpu.ops.xxh64 import xxh64_u64
+
+# Largest supported Bloom filter per device: word indices must fit int32.
+MAX_SIZE_BITS = 1 << 36  # 8 GiB of bit-vector
+
+
+@dataclass(frozen=True)
+class StaticMeta:
+    """Compile-time parameters of the classify computation."""
+
+    k: int
+    size_bits: int
+    n_genes: int
+    degree: int  # max genes per set bit, padded bucket
+    pos_bits: int  # bits reserved for the position in a sort key
+
+    @classmethod
+    def for_index(cls, index: SharkIndex, max_len: int) -> "StaticMeta":
+        if index.size_bits > MAX_SIZE_BITS:
+            raise ValueError(
+                "Bloom filter too large for single-device int32 addressing; "
+                "use the sharded-BF mode"
+            )
+        pos_bits = max(1, int(np.ceil(np.log2(max(2, max_len)))))
+        if (index.n_genes << pos_bits) >= (1 << 31):
+            raise ValueError("n_genes * max_len exceeds 31-bit sort keys")
+        degree = max(1, index.max_degree)
+        # bucket degree to powers of two to bound recompilation
+        degree = 1 << int(np.ceil(np.log2(degree)))
+        return cls(
+            k=index.k,
+            size_bits=index.size_bits,
+            n_genes=index.n_genes,
+            degree=degree,
+            pos_bits=pos_bits,
+        )
+
+
+def _mod_size(h: u64.U64, size_bits: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """hash % size -> (idx_hi, idx_lo) uint32, exploiting the size's form.
+
+    The CLI sizes are multiples of 2**33 bits (argument_parser.hpp:133), so
+    size = m * 2**32 and hash % size = (hi % m) * 2**32 + lo. Power-of-two
+    sizes (tests, tuned deployments) reduce to a mask.
+    """
+    hi, lo = h
+    if size_bits & (size_bits - 1) == 0:  # power of two
+        if size_bits <= (1 << 32):
+            mask = jnp.uint32(size_bits - 1 if size_bits < (1 << 32) else 0xFFFFFFFF)
+            return jnp.zeros_like(hi), lo & mask
+        himask = jnp.uint32((size_bits >> 32) - 1)
+        return hi & himask, lo
+    if size_bits % (1 << 32) == 0:
+        m = jnp.uint32(size_bits >> 32)
+        return hi % m, lo
+    raise ValueError(
+        "Bloom size must be a power of two or a multiple of 2**32 bits"
+    )
+
+
+def classify_kernel(
+    bf_words: jnp.ndarray,  # uint32[n_words]
+    word_rank: jnp.ndarray,  # uint32[n_words]
+    offsets: jnp.ndarray,  # int32[n_set+1]
+    gene_ids: jnp.ndarray,  # uint16[total]
+    codes: jnp.ndarray,  # uint8[B, L]
+    *,
+    meta: StaticMeta,
+    max_winners: int,
+):
+    """Returns (best_cov i32[B], n_winners i32[B], winners i32[B, W],
+    length i32[B])."""
+    B, L = codes.shape
+    k = meta.k
+    D = meta.degree
+    W = max_winners
+    G = meta.n_genes
+    pos_bits = meta.pos_bits
+    assert L <= (1 << pos_bits)
+
+    length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
+
+    # 1-2. canonical k-mers and hashes
+    canon, win_valid = canonical_kmers_jax(codes, k)
+    h = xxh64_u64(canon)
+    idx_hi, idx_lo = _mod_size(h, meta.size_bits)
+
+    # 3. Bloom probe: word gather + bit test + rank
+    word_idx = ((idx_hi << 27) | (idx_lo >> 5)).astype(jnp.int32)
+    w = jnp.take(bf_words, word_idx, axis=0)
+    bit_off = idx_lo & 31
+    hit = (((w >> bit_off) & 1) == 1) & win_valid
+    low_mask = (jnp.uint32(1) << bit_off) - 1
+    rank = jnp.take(word_rank, word_idx, axis=0) + jax.lax.population_count(
+        w & low_mask
+    )
+    r = jnp.where(hit, rank.astype(jnp.int32), 0)
+
+    # 4. CSR: gene lists of hit k-mers
+    off0 = jnp.take(offsets, r, axis=0, mode="clip")
+    off1 = jnp.take(offsets, r + 1, axis=0, mode="clip")
+    deg = jnp.where(hit, off1 - off0, 0)
+
+    pos_i32 = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    sentinel = jnp.uint32(G << pos_bits)
+    keys = []
+    for d in range(D):
+        g = jnp.take(gene_ids, off0 + d, mode="clip").astype(jnp.uint32)
+        key = (g << pos_bits) | pos_i32.astype(jnp.uint32)
+        keys.append(jnp.where(hit & (d < deg), key, sentinel))
+    key_mat = jnp.concatenate(keys, axis=1)  # [B, L*D]
+
+    # 5. sort-based segmented coverage reduction
+    skey = jnp.sort(key_mat, axis=1)
+    gene = (skey >> pos_bits).astype(jnp.int32)
+    pos = (skey & ((1 << pos_bits) - 1)).astype(jnp.int32)
+    valid = gene < G
+
+    prev_gene = jnp.pad(gene[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    prev_pos = jnp.pad(pos[:, :-1], ((0, 0), (1, 0)), constant_values=0)
+    next_gene = jnp.pad(gene[:, 1:], ((0, 0), (0, 1)), constant_values=-2)
+
+    seg_start = valid & (gene != prev_gene)
+    seg_end = valid & (gene != next_gene)
+    contrib = jnp.where(
+        valid,
+        jnp.where(seg_start, k, jnp.minimum(k, pos - prev_pos)),
+        0,
+    ).astype(jnp.int32)
+    ones = valid.astype(jnp.int32)
+
+    csum = jnp.cumsum(contrib, axis=1)
+    hsum = jnp.cumsum(ones, axis=1)
+    base_c = jax.lax.cummax(jnp.where(seg_start, csum - contrib, 0), axis=1)
+    base_h = jax.lax.cummax(jnp.where(seg_start, hsum - ones, 0), axis=1)
+    cov = csum - base_c
+    hits = hsum - base_h
+
+    M = jnp.int32(L + 1)
+    combined = jnp.where(seg_end, cov * M + hits, 0)
+    best = jnp.max(combined, axis=1)
+    winner = seg_end & (combined == best[:, None]) & (best[:, None] > 0)
+    n_winners = jnp.sum(winner.astype(jnp.int32), axis=1)
+
+    widx = jnp.cumsum(winner.astype(jnp.int32), axis=1) - 1
+    target = jnp.where(winner, widx, W)
+    rows = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], target.shape
+    )
+    winners = jnp.full((B, W), -1, dtype=jnp.int32)
+    winners = winners.at[rows, target].set(gene, mode="drop")
+
+    best_cov = best // M
+    return best_cov, n_winners, winners, length
+
+
+class Classifier:
+    """Holds the device-resident index and a cache of jitted kernels keyed by
+    padded batch geometry."""
+
+    def __init__(self, index: SharkIndex, max_winners: int = 16, device=None):
+        self.index = index
+        self.max_winners = max_winners
+        dev = device or jax.devices()[0]
+        self.bf_words = jax.device_put(index.bf_words, dev)
+        self.word_rank = jax.device_put(index.word_rank, dev)
+        self.offsets = jax.device_put(index.offsets, dev)
+        gene_ids = index.gene_ids
+        if gene_ids.size == 0:  # keep gathers well-defined on an empty index
+            gene_ids = np.zeros(1, dtype=np.uint16)
+        self.gene_ids = jax.device_put(gene_ids, dev)
+        self._fns = {}
+
+    def _fn(self, L: int):
+        fn = self._fns.get(L)
+        if fn is None:
+            meta = StaticMeta.for_index(self.index, L)
+            fn = jax.jit(
+                functools.partial(
+                    classify_kernel, meta=meta, max_winners=self.max_winners
+                )
+            )
+            self._fns[L] = fn
+        return fn
+
+    def __call__(self, codes: np.ndarray):
+        """codes: uint8 [B, L] -> device result tuple (async)."""
+        return self._fn(codes.shape[1])(
+            self.bf_words, self.word_rank, self.offsets, self.gene_ids, codes
+        )

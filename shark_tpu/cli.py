@@ -1,0 +1,107 @@
+"""Command-line interface.
+
+Flag surface and defaults match the reference (argument_parser.hpp:29-174):
+-r/-1 required; -2 enables paired mode; -o/-p default to sharked_sample.1/.2;
+-k default 17 (max 31); -c default 0.6; -b Bloom size in GB units of 2**33
+bits; -q minimum base quality; -s single-association mode; -t threads; -v
+verbose. Associations go to stdout as "read_id gene_id" lines.
+
+TPU-specific extras: --batch-size, --max-read-len, --backend, --devices,
+--save-index/--load-index.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from shark_tpu.config import SharkConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="shark-tpu",
+        description=(
+            "Mapping-free gene separation of RNA-Seq reads on TPU: indexes "
+            "reference gene sequences as a k-mer Bloom filter and reports, "
+            "for each sample read, the gene(s) it most plausibly comes from."
+        ),
+    )
+    p.add_argument("-r", "--reference", required=True,
+                   help="reference sequences in FASTA format (can be gzipped)")
+    p.add_argument("-1", "--sample1", required=True,
+                   help="sample in FASTQ (can be gzipped)")
+    p.add_argument("-2", "--sample2", default="",
+                   help="second sample in FASTQ (optional, can be gzipped)")
+    p.add_argument("-o", "--out1", default="",
+                   help="first output sample in FASTQ (default: sharked_sample.1)")
+    p.add_argument("-p", "--out2", default="",
+                   help="second output sample in FASTQ (default: sharked_sample.2)")
+    p.add_argument("-k", "--kmer-size", type=int, default=17,
+                   help="size of the kmers to index (default:17, max:31)")
+    p.add_argument("-c", "--confidence", type=float, default=0.6,
+                   help="confidence for associating a read to a gene (default:0.6)")
+    p.add_argument("-b", "--bf-size", type=int, default=1,
+                   help="bloom filter size in GB (default:1)")
+    p.add_argument("-q", "--min-base-quality", type=int, default=0,
+                   help="minimum base quality (Phred+33; default:0 = no filtering)")
+    p.add_argument("-s", "--single", action="store_true",
+                   help="report an association only if a single gene is found")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="number of host worker threads (default:1)")
+    p.add_argument("-v", "--verbose", action="store_true", help="verbose mode")
+    # TPU-execution extras (no reference analogue)
+    p.add_argument("--batch-size", type=int, default=8192,
+                   help="reads per device batch (default: 8192)")
+    p.add_argument("--max-read-len", type=int, default=0,
+                   help="fixed padded (fused) read length; 0 = auto per batch")
+    p.add_argument("--backend", default="",
+                   help="jax platform override (e.g. cpu, tpu)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="data-parallel device count (default: 1)")
+    p.add_argument("--save-index", default="",
+                   help="serialize the built index to this .npz path")
+    p.add_argument("--load-index", default="",
+                   help="load a prebuilt index instead of building from FASTA")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> SharkConfig:
+    return SharkConfig(
+        fasta_path=args.reference,
+        sample1_path=args.sample1,
+        sample2_path=args.sample2,
+        out1_path=args.out1,
+        out2_path=args.out2,
+        k=args.kmer_size,
+        c=args.confidence,
+        bf_gb=args.bf_size,
+        min_quality=args.min_base_quality,
+        single=args.single,
+        verbose=args.verbose,
+        threads=args.threads,
+        batch_size=args.batch_size,
+        max_read_len=args.max_read_len,
+        backend=args.backend,
+        devices=args.devices,
+        save_index=args.save_index,
+        load_index=args.load_index,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    try:
+        cfg.validate()
+    except ValueError as e:
+        print(f"shark-tpu: {e}\naborting...", file=sys.stderr)
+        return 1
+    from shark_tpu.pipeline import run_pipeline
+
+    run_pipeline(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

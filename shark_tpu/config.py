@@ -1,0 +1,68 @@
+"""Run configuration.
+
+Mirrors the reference CLI surface and defaults (reference:
+argument_parser.hpp:49-63, 84-174): -r/-1 required; -2 enables paired mode;
+k in [1, 31]; c in [0, 1]; bf size given in "GB" units where 1 unit equals
+2**33 bits of Bloom bit-vector (argument_parser.hpp:130-133).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# One "-b" unit = 2**33 bits (1 GiB of bit-vector), reference
+# argument_parser.hpp:133.
+BF_UNIT_BITS = 1 << 33
+
+
+@dataclass
+class SharkConfig:
+    fasta_path: str = ""
+    sample1_path: str = ""
+    sample2_path: str = ""
+    out1_path: str = ""
+    out2_path: str = ""
+    k: int = 17
+    c: float = 0.6
+    bf_gb: int = 1  # Bloom filter size in units of 2**33 bits
+    min_quality: int = 0
+    single: bool = False
+    verbose: bool = False
+    threads: int = 1  # accepted for CLI parity; host I/O worker count
+
+    # TPU-execution knobs (no reference analogue).
+    batch_size: int = 8192  # reads per device batch
+    max_read_len: int = 0  # 0 = auto-detect from the first batch
+    max_winners: int = 16  # per-read winner-compaction width on device
+    backend: str = ""  # "" = default jax backend; "cpu" forces host
+    devices: int = 1  # data-parallel device count (1 = single device)
+    save_index: str = ""  # optional path to serialize the built index
+    load_index: str = ""  # optional path to load a prebuilt index
+
+    @property
+    def paired(self) -> bool:
+        return bool(self.sample2_path)
+
+    @property
+    def bf_bits(self) -> int:
+        return self.bf_gb * BF_UNIT_BITS
+
+    def validate(self) -> None:
+        if not (1 <= self.k <= 31):
+            raise ValueError("k must be in the range [1, 31]")
+        if not (0.0 <= self.c <= 1.0):
+            raise ValueError("c must be in the range [0, 1]")
+        if self.min_quality < 0:
+            raise ValueError("q must be a positive value")
+        if self.threads <= 0:
+            raise ValueError("at least 1 thread is required")
+        if self.bf_gb < 1:
+            raise ValueError("bf size must be >= 1 GB unit")
+
+    def finalize_outputs(self) -> None:
+        """Apply the reference's output-path defaults
+        (argument_parser.hpp:168-173)."""
+        if self.out1_path == "":
+            self.out1_path = "sharked_sample.1"
+        if self.out2_path == "" and self.sample2_path != "":
+            self.out2_path = "sharked_sample.2"

@@ -1,0 +1,82 @@
+"""Replicated-index data parallelism.
+
+The reference's only parallelism is N worker threads pulling read batches
+from a mutex-guarded queue against one shared in-memory index
+(main.cpp:219-223). The TPU-native equivalent: the index lives replicated in
+every chip's HBM (zero collectives on the probe path) and each batch is
+sharded over the mesh's data axis; XLA partitions the whole classify kernel
+with no communication, so scaling is linear in chips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from shark_tpu.classify.step import StaticMeta, classify_kernel
+from shark_tpu.index.structure import SharkIndex
+from shark_tpu.parallel.mesh import make_mesh
+
+
+class DataParallelClassifier:
+    def __init__(
+        self,
+        index: SharkIndex,
+        max_winners: int = 16,
+        n_devices: int = 0,
+        mesh=None,
+    ):
+        self.index = index
+        self.max_winners = max_winners
+        self.mesh = mesh or make_mesh(n_devices)
+        self.n_devices = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        repl = NamedSharding(self.mesh, P())
+        self._repl = repl
+        self.bf_words = jax.device_put(index.bf_words, repl)
+        self.word_rank = jax.device_put(index.word_rank, repl)
+        gene_ids = index.gene_ids
+        if gene_ids.size == 0:
+            gene_ids = np.zeros(1, dtype=np.uint16)
+        self.offsets = jax.device_put(index.offsets, repl)
+        self.gene_ids = jax.device_put(gene_ids, repl)
+        self._fns = {}
+
+    def _fn(self, L: int):
+        fn = self._fns.get(L)
+        if fn is None:
+            meta = StaticMeta.for_index(self.index, L)
+            batch_sharded = NamedSharding(self.mesh, P("dp"))
+            kern = functools.partial(
+                classify_kernel, meta=meta, max_winners=self.max_winners
+            )
+            fn = jax.jit(
+                kern,
+                in_shardings=(
+                    self._repl,
+                    self._repl,
+                    self._repl,
+                    self._repl,
+                    batch_sharded,
+                ),
+                out_shardings=(
+                    batch_sharded,
+                    batch_sharded,
+                    batch_sharded,
+                    batch_sharded,
+                ),
+            )
+            self._fns[L] = fn
+        return fn
+
+    def __call__(self, codes: np.ndarray):
+        B = codes.shape[0]
+        if B % self.n_devices != 0:
+            raise ValueError(
+                f"batch size {B} not divisible by {self.n_devices} devices"
+            )
+        return self._fn(codes.shape[1])(
+            self.bf_words, self.word_rank, self.offsets, self.gene_ids, codes
+        )

@@ -1,0 +1,209 @@
+"""End-to-end driver: build/load index, stream sample batches through the
+device classifier, threshold + write on the host.
+
+Mirrors the reference's 3-phase main (main.cpp:83-240) with TPU-shaped
+phases: one host pass builds the whole index (the reference needs two FASTA
+passes only because its rank structure must exist before association); the
+sample loop is a software pipeline — while the device classifies batch i,
+the host encodes batch i+1 and drains batch i-1's verdicts.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from shark_tpu.classify.step import Classifier
+from shark_tpu.config import SharkConfig
+from shark_tpu.index.build import build_index
+from shark_tpu.index.structure import SharkIndex
+from shark_tpu.io.encode import ReadBatch, encode_batch, fused_length
+from shark_tpu.io.fastx import read_fasta, read_fastq_pairs
+from shark_tpu.io.writer import OutputWriter
+from shark_tpu.utils.timers import PhaseTimer
+
+FastqRecord = Tuple[str, bytes, bytes]
+
+
+def _round_len(n: int, k: int) -> int:
+    """Bucket padded lengths to bound recompiles: next power of two >= 128."""
+    n = max(n, k, 128)
+    return 1 << int(np.ceil(np.log2(n)))
+
+
+def _batches(
+    cfg: SharkConfig,
+) -> Iterator[ReadBatch]:
+    recs1: List[FastqRecord] = []
+    recs2: Optional[List[FastqRecord]] = [] if cfg.paired else None
+    max_fused = 0
+    pairs = read_fastq_pairs(cfg.sample1_path, cfg.sample2_path or None)
+    fixed_len = cfg.max_read_len
+
+    def flush() -> ReadBatch:
+        nonlocal recs1, recs2, max_fused
+        L = fixed_len or _round_len(max_fused, cfg.k)
+        batch = encode_batch(
+            recs1, recs2, cfg.min_quality, cfg.batch_size, L
+        )
+        recs1 = []
+        recs2 = [] if cfg.paired else None
+        max_fused = 0
+        return batch
+
+    for r1, r2 in pairs:
+        recs1.append(r1)
+        if recs2 is not None:
+            assert r2 is not None
+            recs2.append(r2)
+        max_fused = max(max_fused, fused_length(r1, r2))
+        if len(recs1) == cfg.batch_size:
+            yield flush()
+    if recs1:
+        yield flush()
+
+
+class _ShimAssoc:
+    """dict-like probe view over a SharkIndex for the oracle fallback."""
+
+    def __init__(self, index: SharkIndex):
+        self._index = index
+
+    def get(self, p: int):
+        genes = self._index.membership(p)
+        return genes.tolist() if genes.size else None
+
+
+class _ShimIndex:
+    def __init__(self, index: SharkIndex):
+        self.k = index.k
+        self.size_bits = index.size_bits
+        self.assoc = _ShimAssoc(index)
+        self.gene_names = index.gene_names
+
+
+def _drain(
+    cfg: SharkConfig,
+    index: SharkIndex,
+    batch: ReadBatch,
+    result,
+    writer: OutputWriter,
+    max_winners: int,
+) -> None:
+    best_cov, n_winners, winners, length = (np.asarray(x) for x in result)
+    # float64 threshold, exactly the reference's double compare
+    emit = (best_cov.astype(np.float64) >= cfg.c * length.astype(np.float64)) & (
+        n_winners > 0
+    )
+    if cfg.single:
+        emit &= n_winners == 1
+    names = index.gene_names
+    rec2 = batch.recs2
+    for i in range(batch.n):
+        if not emit[i]:
+            continue
+        nw = int(n_winners[i])
+        if nw > max_winners:
+            # ultra-rare: more tied winners than the device compaction width
+            from shark_tpu.classify.oracle import classify_read, fuse_pair
+
+            shim = _ShimIndex(index)
+            codes = fuse_pair(
+                batch.recs1[i],
+                rec2[i] if rec2 is not None else None,
+                cfg.min_quality,
+            )
+            wins, _, _ = classify_read(shim, codes, cfg.c, cfg.single)
+            gene_list = [names[g] for g in wins]
+        else:
+            gene_list = [names[g] for g in winners[i, :nw]]
+        if gene_list:
+            writer.emit_read(
+                gene_list,
+                batch.recs1[i],
+                rec2[i] if rec2 is not None else None,
+            )
+
+
+def load_or_build_index(cfg: SharkConfig, timer: PhaseTimer) -> SharkIndex:
+    if cfg.load_index:
+        index = SharkIndex.load(cfg.load_index)
+        timer.mark("Index loaded")
+        if index.k != cfg.k or index.size_bits != cfg.bf_bits:
+            print(
+                "[shark-tpu] warning: loaded index overrides k/bf-size flags",
+                file=sys.stderr,
+            )
+        return index
+    index = build_index(read_fasta(cfg.fasta_path), cfg.k, cfg.bf_bits)
+    timer.mark(f"BF created from transcripts ({index.n_genes} genes)")
+    if cfg.save_index:
+        index.save(cfg.save_index)
+        timer.mark("Index saved")
+    return index
+
+
+def run_pipeline(cfg: SharkConfig, ssv_stream=None) -> dict:
+    """Run the full reference-equivalent pipeline. Returns run stats."""
+    cfg.validate()
+    cfg.finalize_outputs()
+    timer = PhaseTimer()
+
+    if cfg.backend:
+        import jax
+
+        jax.config.update("jax_platforms", cfg.backend)
+
+    if cfg.verbose:
+        print(f"Reference texts: {cfg.fasta_path}", file=sys.stderr)
+        print(f"Sample 1: {cfg.sample1_path}", file=sys.stderr)
+        if cfg.paired:
+            print(f"Sample 2: {cfg.sample2_path}", file=sys.stderr)
+        print(f"K-mer length: {cfg.k}", file=sys.stderr)
+        print(f"Threshold value: {cfg.c}", file=sys.stderr)
+        print(
+            f"Only single associations: {'Yes' if cfg.single else 'No'}",
+            file=sys.stderr,
+        )
+        print(f"Minimum base quality: {cfg.min_quality}", file=sys.stderr)
+        print(file=sys.stderr)
+
+    index = load_or_build_index(cfg, timer)
+
+    if cfg.devices > 1:
+        from shark_tpu.parallel.data_parallel import DataParallelClassifier
+
+        classifier = DataParallelClassifier(
+            index, max_winners=cfg.max_winners, n_devices=cfg.devices
+        )
+    else:
+        classifier = Classifier(index, max_winners=cfg.max_winners)
+    writer = OutputWriter(
+        ssv_stream or sys.stdout, cfg.out1_path, cfg.out2_path
+    )
+
+    n_reads = 0
+    pending: List[Tuple[ReadBatch, tuple]] = []
+    DEPTH = 2  # device/host overlap depth
+    for batch in _batches(cfg):
+        result = classifier(batch.codes)  # async dispatch
+        pending.append((batch, result))
+        n_reads += batch.n
+        if len(pending) > DEPTH:
+            b, res = pending.pop(0)
+            _drain(cfg, index, b, res, writer, cfg.max_winners)
+    for b, res in pending:
+        _drain(cfg, index, b, res, writer, cfg.max_winners)
+    writer.close()
+
+    timer.mark("Sample completed")
+    timer.rate("throughput", n_reads, "reads")
+    return {
+        "n_reads": n_reads,
+        "n_associations": writer.n_associations,
+        "n_reads_out": writer.n_reads_out,
+        "n_genes": index.n_genes,
+        "elapsed_s": timer.elapsed(),
+    }
