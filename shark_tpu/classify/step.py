@@ -21,8 +21,16 @@ and a cummax-carried segment base; winners are the argmax segments by
 lexicographic (cov, hits) with ties kept, exactly as the reference's
 std::map scan (ReadAnalyzer.hpp:90-102).
 
-The cov >= c*len emission threshold is applied on the host in float64 to
-reproduce the reference's double-precision compare (ReadAnalyzer.hpp:104).
+The cov >= c*len emission threshold is evaluated ON DEVICE against a
+host-precomputed integer table thresh[len] = min{cov : (float64)cov >=
+c * (float64)len}, which reproduces the reference's double-precision
+compare (ReadAnalyzer.hpp:104) bit-exactly without float64 on the TPU.
+
+Results return to the host as ONE packed int32 per read (winner gene id,
+winner count, emit flag); the full winner matrix stays device-resident and
+is fetched only for the rare multi-winner batches. This keeps the
+device->host path — the expensive direction on tunneled TPU setups — to
+4 bytes per read.
 """
 
 from __future__ import annotations
@@ -98,17 +106,35 @@ def _mod_size(h: u64.U64, size_bits: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     )
 
 
+def emit_threshold_table(c: float, max_len: int) -> np.ndarray:
+    """thresh[l] = smallest integer cov with (float64)cov >= c*l, matching
+    the reference's double compare (ReadAnalyzer.hpp:104) exactly."""
+    l = np.arange(max_len + 1, dtype=np.float64)
+    t = np.ceil(c * l).astype(np.int64)
+    # ceil can overshoot by one when c*l is integral-but-rounded; fix up
+    t = np.where((t - 1).astype(np.float64) >= c * l, t - 1, t)
+    return t.astype(np.int32)
+
+
+# Packed verdict layout (bits of one int32 per read).
+PACK_GENE_BITS = 16            # winner gene id (uint16 capacity)
+PACK_NW_SHIFT = 16
+PACK_NW_BITS = 5               # n_winners, saturating at 31
+PACK_EMIT_SHIFT = 21           # cov >= c*len flag
+
+
 def classify_kernel(
     bf_words: jnp.ndarray,  # uint32[n_words]
     word_rank: jnp.ndarray,  # uint32[n_words]
     offsets: jnp.ndarray,  # int32[n_set+1]
     gene_ids: jnp.ndarray,  # uint16[total]
+    thresh: jnp.ndarray,  # int32[L+1] emission threshold table
     codes: jnp.ndarray,  # uint8[B, L]
     *,
     meta: StaticMeta,
     max_winners: int,
 ):
-    """Returns (best_cov i32[B], n_winners i32[B], winners i32[B, W],
+    """Returns (packed i32[B], winners i32[B, W], best_cov i32[B],
     length i32[B])."""
     B, L = codes.shape
     k = meta.k
@@ -191,17 +217,32 @@ def classify_kernel(
     winners = winners.at[rows, target].set(gene, mode="drop")
 
     best_cov = best // M
-    return best_cov, n_winners, winners, length
+    emit = best_cov >= jnp.take(thresh, length, mode="clip")
+    nw_sat = jnp.minimum(n_winners, (1 << PACK_NW_BITS) - 1)
+    packed = (
+        jnp.maximum(winners[:, 0], 0)
+        | (nw_sat << PACK_NW_SHIFT)
+        | (emit.astype(jnp.int32) << PACK_EMIT_SHIFT)
+    )
+    return packed, winners, best_cov, length
 
 
 class Classifier:
     """Holds the device-resident index and a cache of jitted kernels keyed by
     padded batch geometry."""
 
-    def __init__(self, index: SharkIndex, max_winners: int = 16, device=None):
+    def __init__(
+        self,
+        index: SharkIndex,
+        max_winners: int = 16,
+        c: float = 0.6,
+        device=None,
+    ):
         self.index = index
         self.max_winners = max_winners
+        self.c = c
         dev = device or jax.devices()[0]
+        self._dev = dev
         self.bf_words = jax.device_put(index.bf_words, dev)
         self.word_rank = jax.device_put(index.word_rank, dev)
         self.offsets = jax.device_put(index.offsets, dev)
@@ -210,6 +251,7 @@ class Classifier:
             gene_ids = np.zeros(1, dtype=np.uint16)
         self.gene_ids = jax.device_put(gene_ids, dev)
         self._fns = {}
+        self._thresh = {}
 
     def _fn(self, L: int):
         fn = self._fns.get(L)
@@ -221,10 +263,19 @@ class Classifier:
                 )
             )
             self._fns[L] = fn
+            self._thresh[L] = jax.device_put(
+                emit_threshold_table(self.c, L), self._dev
+            )
         return fn
 
     def __call__(self, codes: np.ndarray):
         """codes: uint8 [B, L] -> device result tuple (async)."""
-        return self._fn(codes.shape[1])(
-            self.bf_words, self.word_rank, self.offsets, self.gene_ids, codes
+        fn = self._fn(codes.shape[1])
+        return fn(
+            self.bf_words,
+            self.word_rank,
+            self.offsets,
+            self.gene_ids,
+            self._thresh[codes.shape[1]],
+            codes,
         )

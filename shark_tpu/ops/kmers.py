@@ -85,33 +85,63 @@ def canonical_kmers_jax(
     Returns (canon, window_valid): canon is a uint32-limb pair of shape
     [B, L] where index e corresponds to the window *ending* at position e
     (entries with e < k-1 or any invalid base are masked False).
+
+    Built by logarithmic doubling rather than a k-step rolling chain: a
+    window of length m+n ending at e is the length-m window ending at
+    e-n packed above the length-n window ending at e (and the reverse
+    complement composes the opposite way). This keeps the op-graph depth
+    at O(log k) — both faster and *vastly* cheaper to compile than the
+    reference's per-base rolling recurrence (kmer_utils.hpp:73-79), which
+    XLA would otherwise unroll into a k-deep dependency chain.
     """
     B, L = codes.shape
     valid = codes < INVALID
     c = jnp.where(valid, codes, 0).astype(jnp.uint32)
 
-    # x_j[b, e] = code at window offset j for the window ending at e,
-    # i.e. codes[b, e - (k-1) + j]; realized as a right-shift of the row.
     def shifted(arr, offset):
-        # arr shifted right by `offset` along axis 1 (zero/False fill)
+        # arr[b, i] -> arr[b, i-offset] (zero-fill on the left edge)
         if offset == 0:
             return arr
         pad = jnp.zeros((B, offset), dtype=arr.dtype)
         return jnp.concatenate([pad, arr[:, : L - offset]], axis=1)
 
-    fwd = u64.from_u32(jnp.zeros((B, L), jnp.uint32))
-    rc = u64.from_u32(jnp.zeros((B, L), jnp.uint32))
-    win_valid = jnp.ones((B, L), dtype=bool)
-    top = 2 * k - 2
-    for j in range(k):
-        off = k - 1 - j
-        cj = shifted(c, off)
-        vj = shifted(valid, off)
-        fwd = u64.or_(u64.shli(fwd, 2), u64.from_u32(cj))
-        comp = (cj ^ 3).astype(jnp.uint32)
-        rc = u64.or_(u64.shri(rc, 2), u64.shli(u64.from_u32(comp), top))
-        win_valid = win_valid & vj
-    # windows ending before k-1 are out of range
+    def combine(a, b, m: int, n: int):
+        """Windows (fwd, rc, valid) of length m+n ending at e, from the
+        length-m window ending at e-n and the length-n window ending at e."""
+        fa, ra, va = a
+        fb, rb, vb = b
+        fa_s = (shifted(fa[0], n), shifted(fa[1], n))
+        ra_s = (shifted(ra[0], n), shifted(ra[1], n))
+        va_s = shifted(va, n)
+        fwd = u64.or_(u64.shli(fa_s, 2 * n), fb)
+        rc = u64.or_(u64.shli(rb, 2 * m), ra_s)
+        return fwd, rc, va_s & vb
+
+    # length-1 windows
+    base = (
+        u64.from_u32(c),
+        u64.from_u32((c ^ 3).astype(jnp.uint32)),
+        valid,
+    )
+    # doubled[s] = windows of length 2**s
+    pieces = {1: base}
+    m = 1
+    cur = base
+    while m * 2 <= k:
+        cur = combine(cur, cur, m, m)
+        m *= 2
+        pieces[m] = cur
+    # compose k from its binary decomposition, largest piece first
+    rem = k - m
+    acc = cur
+    acc_len = m
+    while rem:
+        p = 1 << (rem.bit_length() - 1)
+        acc = combine(acc, pieces[p], acc_len, p)
+        acc_len += p
+        rem -= p
+
+    fwd, rc, win_valid = acc
     pos = jax_iota_row(B, L)
     win_valid = win_valid & (pos >= (k - 1))
     canon = u64.min_(fwd, rc)

@@ -16,7 +16,11 @@ import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from shark_tpu.classify.step import StaticMeta, classify_kernel
+from shark_tpu.classify.step import (
+    StaticMeta,
+    classify_kernel,
+    emit_threshold_table,
+)
 from shark_tpu.index.structure import SharkIndex
 from shark_tpu.parallel.mesh import make_mesh
 
@@ -26,11 +30,13 @@ class DataParallelClassifier:
         self,
         index: SharkIndex,
         max_winners: int = 16,
+        c: float = 0.6,
         n_devices: int = 0,
         mesh=None,
     ):
         self.index = index
         self.max_winners = max_winners
+        self.c = c
         self.mesh = mesh or make_mesh(n_devices)
         self.n_devices = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
         repl = NamedSharding(self.mesh, P())
@@ -43,6 +49,7 @@ class DataParallelClassifier:
         self.offsets = jax.device_put(index.offsets, repl)
         self.gene_ids = jax.device_put(gene_ids, repl)
         self._fns = {}
+        self._thresh = {}
 
     def _fn(self, L: int):
         fn = self._fns.get(L)
@@ -59,6 +66,7 @@ class DataParallelClassifier:
                     self._repl,
                     self._repl,
                     self._repl,
+                    self._repl,
                     batch_sharded,
                 ),
                 out_shardings=(
@@ -69,6 +77,9 @@ class DataParallelClassifier:
                 ),
             )
             self._fns[L] = fn
+            self._thresh[L] = jax.device_put(
+                emit_threshold_table(self.c, L), self._repl
+            )
         return fn
 
     def __call__(self, codes: np.ndarray):
@@ -77,6 +88,12 @@ class DataParallelClassifier:
             raise ValueError(
                 f"batch size {B} not divisible by {self.n_devices} devices"
             )
-        return self._fn(codes.shape[1])(
-            self.bf_words, self.word_rank, self.offsets, self.gene_ids, codes
+        fn = self._fn(codes.shape[1])
+        return fn(
+            self.bf_words,
+            self.word_rank,
+            self.offsets,
+            self.gene_ids,
+            self._thresh[codes.shape[1]],
+            codes,
         )

@@ -92,20 +92,31 @@ def _drain(
     writer: OutputWriter,
     max_winners: int,
 ) -> None:
-    best_cov, n_winners, winners, length = (np.asarray(x) for x in result)
-    # float64 threshold, exactly the reference's double compare
-    emit = (best_cov.astype(np.float64) >= cfg.c * length.astype(np.float64)) & (
-        n_winners > 0
+    from shark_tpu.classify.step import (
+        PACK_EMIT_SHIFT,
+        PACK_NW_BITS,
+        PACK_NW_SHIFT,
     )
+
+    packed_dev, winners_dev, _best_cov_dev, _length_dev = result
+    packed = np.asarray(packed_dev)[: batch.n]
+    winner0 = packed & ((1 << PACK_NW_SHIFT) - 1)
+    n_winners = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
+    emit = ((packed >> PACK_EMIT_SHIFT) & 1).astype(bool) & (n_winners > 0)
     if cfg.single:
         emit &= n_winners == 1
+    # The winner matrix only crosses the device->host link when a batch
+    # actually contains a multi-winner read.
+    winners = None
+    if np.any(emit & (n_winners > 1)):
+        winners = np.asarray(winners_dev)
     names = index.gene_names
     rec2 = batch.recs2
-    for i in range(batch.n):
-        if not emit[i]:
-            continue
+    for i in np.flatnonzero(emit):
         nw = int(n_winners[i])
-        if nw > max_winners:
+        if nw == 1:
+            gene_list = [names[winner0[i]]]
+        elif nw > max_winners or nw == (1 << PACK_NW_BITS) - 1:
             # ultra-rare: more tied winners than the device compaction width
             from shark_tpu.classify.oracle import classify_read, fuse_pair
 
@@ -171,24 +182,42 @@ def run_pipeline(cfg: SharkConfig, ssv_stream=None) -> dict:
         print(file=sys.stderr)
 
     index = load_or_build_index(cfg, timer)
+    index_s = timer.elapsed()
 
     if cfg.devices > 1:
         from shark_tpu.parallel.data_parallel import DataParallelClassifier
 
         classifier = DataParallelClassifier(
-            index, max_winners=cfg.max_winners, n_devices=cfg.devices
+            index, max_winners=cfg.max_winners, c=cfg.c, n_devices=cfg.devices
         )
     else:
-        classifier = Classifier(index, max_winners=cfg.max_winners)
+        classifier = Classifier(index, max_winners=cfg.max_winners, c=cfg.c)
     writer = OutputWriter(
         ssv_stream or sys.stdout, cfg.out1_path, cfg.out2_path
     )
 
+    if cfg.max_read_len:
+        # Known geometry: pay the jit compile (and, on tunneled TPU
+        # setups, the one-time session spin-up) before the timed stream.
+        import jax
+
+        warm = np.full(
+            (cfg.batch_size, cfg.max_read_len), 4, dtype=np.uint8
+        )
+        jax.block_until_ready(classifier(warm))
+        np.asarray(classifier(warm)[0])
+        timer.mark("Device warmup")
+    warm_s = timer.elapsed()
+
     n_reads = 0
     pending: List[Tuple[ReadBatch, tuple]] = []
-    DEPTH = 2  # device/host overlap depth
+    DEPTH = 3  # device/host overlap depth
     for batch in _batches(cfg):
         result = classifier(batch.codes)  # async dispatch
+        try:
+            result[0].copy_to_host_async()
+        except AttributeError:
+            pass
         pending.append((batch, result))
         n_reads += batch.n
         if len(pending) > DEPTH:
@@ -200,10 +229,14 @@ def run_pipeline(cfg: SharkConfig, ssv_stream=None) -> dict:
 
     timer.mark("Sample completed")
     timer.rate("throughput", n_reads, "reads")
+    elapsed = timer.elapsed()
     return {
         "n_reads": n_reads,
         "n_associations": writer.n_associations,
         "n_reads_out": writer.n_reads_out,
         "n_genes": index.n_genes,
-        "elapsed_s": timer.elapsed(),
+        "elapsed_s": elapsed,
+        "index_s": index_s,
+        "warmup_s": warm_s - index_s,
+        "classify_s": elapsed - warm_s,
     }

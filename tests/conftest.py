@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# jax >= 0.8 ignores the XLA_FLAGS spelling; the config knobs are
+# authoritative (both must be set for the device cache to refresh).
+if jax.config.jax_num_cpu_devices < 8:
+    jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest

@@ -1,0 +1,153 @@
+"""Device classify kernel vs the pure-host oracle on randomized workloads."""
+
+import numpy as np
+import pytest
+
+from shark_tpu.classify.oracle import (
+    OracleIndex,
+    build_oracle_index,
+    classify_read,
+)
+from shark_tpu.classify.step import Classifier
+from shark_tpu.index.build import build_index
+from shark_tpu.ops.kmers import encode_bytes
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+K = 11
+SIZE_BITS = 1 << 16  # tiny filter => plenty of collisions exercised
+
+
+def _random_records(rng, n_genes, gene_len):
+    recs = []
+    for g in range(n_genes):
+        seq = BASES[rng.integers(0, 4, size=gene_len)].tobytes()
+        recs.append((f"G{g}", seq))
+    return recs
+
+
+def _random_reads(rng, records, n_reads, read_len, err=0.05):
+    reads = []
+    for _ in range(n_reads):
+        _, seq = records[rng.integers(0, len(records))]
+        start = int(rng.integers(0, max(1, len(seq) - read_len)))
+        arr = np.frombuffer(seq[start : start + read_len], np.uint8).copy()
+        mut = rng.random(arr.size) < err
+        arr[mut] = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=int(mut.sum()))
+        reads.append(arr.tobytes())
+    return reads
+
+
+@pytest.fixture(scope="module")
+def workload():
+    rng = np.random.default_rng(42)
+    records = _random_records(rng, n_genes=20, gene_len=400)
+    reads = _random_reads(rng, records, n_reads=300, read_len=90)
+    index = build_index(records, K, SIZE_BITS)
+    oracle = build_oracle_index(records, K, SIZE_BITS)
+    return records, reads, index, oracle
+
+
+def _index_agrees(index, oracle: OracleIndex, positions):
+    for p in positions:
+        got = index.membership(int(p)).tolist()
+        want = oracle.assoc.get(int(p), [])
+        assert got == want, p
+
+
+def test_index_matches_oracle(workload):
+    _, _, index, oracle = workload
+    # every associated position plus a sample of absent ones
+    _index_agrees(index, oracle, list(oracle.assoc))
+    rng = np.random.default_rng(0)
+    _index_agrees(index, oracle, rng.integers(0, SIZE_BITS, size=200))
+
+
+def _unpack(packed):
+    from shark_tpu.classify.step import (
+        PACK_EMIT_SHIFT,
+        PACK_NW_BITS,
+        PACK_NW_SHIFT,
+    )
+
+    winner0 = packed & ((1 << PACK_NW_SHIFT) - 1)
+    nw = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
+    emit = (packed >> PACK_EMIT_SHIFT) & 1
+    return winner0, nw, emit
+
+
+def test_device_matches_oracle(workload):
+    _, reads, index, oracle = workload
+    L = 128
+    B = len(reads)
+    codes = np.full((B, L), 4, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_bytes(r)
+
+    c = 0.6
+    clf = Classifier(index, max_winners=24, c=c)
+    packed, winners, best_cov, length = (np.asarray(x) for x in clf(codes))
+    winner0, n_winners, emit = _unpack(packed)
+
+    for i, r in enumerate(reads):
+        # oracle with c=0 reports winners whenever any gene was hit
+        want_w, want_cov, want_len = classify_read(
+            oracle, encode_bytes(r), 0.0, False
+        )
+        assert length[i] == want_len, i
+        assert best_cov[i] == want_cov, (i, best_cov[i], want_cov)
+        nw = int(n_winners[i])
+        got_w = sorted(winners[i, :nw].tolist()) if nw else []
+        assert got_w == want_w, (i, got_w, want_w)
+        if nw:
+            assert winner0[i] == winners[i, 0]
+        # device emit flag must match the reference float64 compare
+        want_emit = float(want_cov) >= c * float(want_len)
+        assert bool(emit[i]) == want_emit, i
+
+
+def test_device_short_and_empty_reads(workload):
+    _, _, index, _ = workload
+    clf = Classifier(index, max_winners=4)
+    codes = np.full((4, 64), 4, dtype=np.uint8)
+    codes[1, :5] = 0  # shorter than k
+    codes[2, :K] = 1  # exactly k of 'C'
+    packed, winners, best_cov, length = (np.asarray(x) for x in clf(codes))
+    _, n_winners, _ = _unpack(packed)
+    assert length.tolist()[:2] == [0, 5]
+    assert n_winners[0] == 0 and n_winners[1] == 0
+
+
+def test_emit_threshold_table_matches_float64():
+    from shark_tpu.classify.step import emit_threshold_table
+
+    rng = np.random.default_rng(5)
+    for c in [0.0, 0.3, 0.6, 2 / 3, 0.999, 1.0] + list(rng.random(20)):
+        t = emit_threshold_table(c, 300)
+        for l in range(301):
+            th = int(t[l])
+            if th > 0:
+                assert not (float(th - 1) >= c * float(l)), (c, l)
+            assert float(th) >= c * float(l), (c, l)
+
+
+def test_multi_device_matches_single(workload):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from shark_tpu.parallel.data_parallel import DataParallelClassifier
+
+    _, reads, index, _ = workload
+    L = 128
+    B = 296  # divisible by 8
+    codes = np.full((B, L), 4, dtype=np.uint8)
+    for i in range(B):
+        r = reads[i % len(reads)]
+        codes[i, : len(r)] = encode_bytes(r)
+
+    single = Classifier(index, max_winners=24)
+    multi = DataParallelClassifier(index, max_winners=24, n_devices=8)
+    ref = [np.asarray(x) for x in single(codes)]
+    got = [np.asarray(x) for x in multi(codes)]
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
