@@ -113,15 +113,19 @@ def run_tpu(fasta: str, fastq: str) -> dict:
         fasta_path=fasta,
         sample1_path=fastq,
         out1_path=out1,
+        ssv_path=os.path.join(CACHE, "out.ssv"),
         k=K,
         c=C,
         bf_gb=BF_BITS >> 33,
-        batch_size=32768,
+        batch_size=65536,
         max_read_len=128,
+        load_index=os.path.join(CACHE, "index.npz")
+        if os.path.exists(os.path.join(CACHE, "index.npz"))
+        else "",
+        save_index=os.path.join(CACHE, "index.npz"),
     )
     log("running shark_tpu pipeline (warm-up + timed) ...")
-    ssv = io.StringIO()
-    stats = run_pipeline(cfg, ssv_stream=ssv)
+    stats = run_pipeline(cfg)
     log(f"shark_tpu: {stats}")
     return stats
 

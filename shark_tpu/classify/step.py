@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -123,19 +123,78 @@ PACK_NW_BITS = 5               # n_winners, saturating at 31
 PACK_EMIT_SHIFT = 21           # cov >= c*len flag
 
 
-def classify_kernel(
-    bf_words: jnp.ndarray,  # uint32[n_words]
-    word_rank: jnp.ndarray,  # uint32[n_words]
-    offsets: jnp.ndarray,  # int32[n_set+1]
-    gene_ids: jnp.ndarray,  # uint16[total]
-    thresh: jnp.ndarray,  # int32[L+1] emission threshold table
+class DeviceIndex(NamedTuple):
+    """Gather-optimized device layout of a SharkIndex.
+
+    A probe costs exactly TWO random gathers (the dominant device cost —
+    the compute around them is effectively free on the VPU):
+      bf_rank[w]  : (bloom word, exclusive rank) interleaved, one 8-byte row
+      gene_mat[r] : (degree, gene_0, ..., gene_{D-1}) one 2(D+1)-byte row
+    versus the reference's bit-vector + rank + select + flattened-set walk
+    (bloomfilter.h:78-102), which costs 6+ dependent memory touches.
+    """
+
+    bf_rank: jnp.ndarray  # uint32[n_words, 2]
+    gene_mat: jnp.ndarray  # uint16[max(n_set,1), D+1]
+
+
+def build_device_index(index: SharkIndex) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side construction of the DeviceIndex arrays (numpy)."""
+    n_words = index.bf_words.size
+    bf_rank = np.empty((n_words, 2), dtype=np.uint32)
+    bf_rank[:, 0] = index.bf_words
+    bf_rank[:, 1] = index.word_rank
+    n_set = index.n_set_bits
+    deg = np.diff(index.offsets).astype(np.int64)
+    D = 1 << int(np.ceil(np.log2(max(1, index.max_degree)))) if n_set else 1
+    gene_mat = np.zeros((max(n_set, 1), D + 1), dtype=np.uint16)
+    if n_set:
+        gene_mat[:, 0] = deg
+        rows = np.repeat(np.arange(n_set), deg)
+        cols = np.arange(index.gene_ids.size) - np.repeat(
+            index.offsets[:-1].astype(np.int64), deg
+        )
+        gene_mat[rows, cols + 1] = index.gene_ids
+    return bf_rank, gene_mat
+
+
+def hash_positions(codes: jnp.ndarray, meta: StaticMeta):
+    """codes [B, L] -> (word_idx i32[B,L], bit_off u32[B,L], win_valid bool).
+
+    The per-window canonical-kmer -> XXH64 -> mod -> (word, bit) address
+    computation, shared by the replicated and sharded probe paths."""
+    canon, win_valid = canonical_kmers_jax(codes, meta.k)
+    h = xxh64_u64(canon)
+    idx_hi, idx_lo = _mod_size(h, meta.size_bits)
+    word_idx = ((idx_hi << 27) | (idx_lo >> 5)).astype(jnp.int32)
+    return word_idx, idx_lo & 31, win_valid
+
+
+def probe_local(dix: DeviceIndex, word_idx, bit_off, win_valid):
+    """Two-gather probe of a device-resident index shard.
+
+    Returns (gm u16[..., D+1], hit bool[...]): row 0 of gm is the degree,
+    valid only where hit."""
+    wr = jnp.take(dix.bf_rank, word_idx, axis=0)
+    w = wr[..., 0]
+    hit = (((w >> bit_off) & 1) == 1) & win_valid
+    low_mask = (jnp.uint32(1) << bit_off) - 1
+    rank = wr[..., 1] + jax.lax.population_count(w & low_mask)
+    r = jnp.where(hit, rank.astype(jnp.int32), 0)
+    gm = jnp.take(dix.gene_mat, r, axis=0)
+    return gm, hit
+
+
+def finish_kernel(
+    gm: jnp.ndarray,  # uint16[B, L, D+1]
+    hit: jnp.ndarray,  # bool[B, L]
     codes: jnp.ndarray,  # uint8[B, L]
+    thresh: jnp.ndarray,  # int32[L+1]
     *,
     meta: StaticMeta,
     max_winners: int,
 ):
-    """Returns (packed i32[B], winners i32[B, W], best_cov i32[B],
-    length i32[B])."""
+    """Coverage scoring + winner selection from per-probe gene rows."""
     B, L = codes.shape
     k = meta.k
     D = meta.degree
@@ -143,35 +202,16 @@ def classify_kernel(
     G = meta.n_genes
     pos_bits = meta.pos_bits
     assert L <= (1 << pos_bits)
+    assert gm.shape[-1] == D + 1
 
     length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
-
-    # 1-2. canonical k-mers and hashes
-    canon, win_valid = canonical_kmers_jax(codes, k)
-    h = xxh64_u64(canon)
-    idx_hi, idx_lo = _mod_size(h, meta.size_bits)
-
-    # 3. Bloom probe: word gather + bit test + rank
-    word_idx = ((idx_hi << 27) | (idx_lo >> 5)).astype(jnp.int32)
-    w = jnp.take(bf_words, word_idx, axis=0)
-    bit_off = idx_lo & 31
-    hit = (((w >> bit_off) & 1) == 1) & win_valid
-    low_mask = (jnp.uint32(1) << bit_off) - 1
-    rank = jnp.take(word_rank, word_idx, axis=0) + jax.lax.population_count(
-        w & low_mask
-    )
-    r = jnp.where(hit, rank.astype(jnp.int32), 0)
-
-    # 4. CSR: gene lists of hit k-mers
-    off0 = jnp.take(offsets, r, axis=0, mode="clip")
-    off1 = jnp.take(offsets, r + 1, axis=0, mode="clip")
-    deg = jnp.where(hit, off1 - off0, 0)
+    deg = jnp.where(hit, gm[..., 0].astype(jnp.int32), 0)
 
     pos_i32 = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
     sentinel = jnp.uint32(G << pos_bits)
     keys = []
     for d in range(D):
-        g = jnp.take(gene_ids, off0 + d, mode="clip").astype(jnp.uint32)
+        g = gm[..., 1 + d].astype(jnp.uint32)
         key = (g << pos_bits) | pos_i32.astype(jnp.uint32)
         keys.append(jnp.where(hit & (d < deg), key, sentinel))
     key_mat = jnp.concatenate(keys, axis=1)  # [B, L*D]
@@ -227,6 +267,23 @@ def classify_kernel(
     return packed, winners, best_cov, length
 
 
+def classify_kernel(
+    dix: DeviceIndex,
+    thresh: jnp.ndarray,  # int32[L+1] emission threshold table
+    codes: jnp.ndarray,  # uint8[B, L]
+    *,
+    meta: StaticMeta,
+    max_winners: int,
+):
+    """Returns (packed i32[B], winners i32[B, W], best_cov i32[B],
+    length i32[B])."""
+    word_idx, bit_off, win_valid = hash_positions(codes, meta)
+    gm, hit = probe_local(dix, word_idx, bit_off, win_valid)
+    return finish_kernel(
+        gm, hit, codes, thresh, meta=meta, max_winners=max_winners
+    )
+
+
 class Classifier:
     """Holds the device-resident index and a cache of jitted kernels keyed by
     padded batch geometry."""
@@ -243,13 +300,11 @@ class Classifier:
         self.c = c
         dev = device or jax.devices()[0]
         self._dev = dev
-        self.bf_words = jax.device_put(index.bf_words, dev)
-        self.word_rank = jax.device_put(index.word_rank, dev)
-        self.offsets = jax.device_put(index.offsets, dev)
-        gene_ids = index.gene_ids
-        if gene_ids.size == 0:  # keep gathers well-defined on an empty index
-            gene_ids = np.zeros(1, dtype=np.uint16)
-        self.gene_ids = jax.device_put(gene_ids, dev)
+        bf_rank, gene_mat = build_device_index(index)
+        self.dix = DeviceIndex(
+            bf_rank=jax.device_put(bf_rank, dev),
+            gene_mat=jax.device_put(gene_mat, dev),
+        )
         self._fns = {}
         self._thresh = {}
 
@@ -271,11 +326,4 @@ class Classifier:
     def __call__(self, codes: np.ndarray):
         """codes: uint8 [B, L] -> device result tuple (async)."""
         fn = self._fn(codes.shape[1])
-        return fn(
-            self.bf_words,
-            self.word_rank,
-            self.offsets,
-            self.gene_ids,
-            self._thresh[codes.shape[1]],
-            codes,
-        )
+        return fn(self.dix, self._thresh[codes.shape[1]], codes)

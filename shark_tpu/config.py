@@ -38,6 +38,8 @@ class SharkConfig:
     devices: int = 1  # data-parallel device count (1 = single device)
     save_index: str = ""  # optional path to serialize the built index
     load_index: str = ""  # optional path to load a prebuilt index
+    ssv_path: str = ""  # write ssv here instead of stdout (native path)
+    use_native: bool = True  # use the C++ host I/O engine when available
 
     @property
     def paired(self) -> bool:

@@ -1,0 +1,185 @@
+"""ctypes bindings for the native host I/O engine (shark_native.cpp).
+
+Compiled on first use with g++ (cached next to the source); every entry
+point has a pure-Python fallback in shark_tpu.io, so absence of a compiler
+degrades performance, not correctness.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "..", "native", "shark_native.cpp")
+_SO = os.path.join(_DIR, "..", "native", "_shark_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", _SO, _SRC, "-lz",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError) as e:
+        print(f"[shark-tpu] native build failed: {e}", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib or None
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+            _SRC
+        ):
+            if not _build():
+                _lib = False
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.shk_open.restype = ctypes.c_void_p
+        lib.shk_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.shk_next.restype = ctypes.c_int
+        lib.shk_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.shk_set_output.restype = ctypes.c_int
+        lib.shk_set_output.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.shk_register_genes.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ]
+        lib.shk_emit.restype = ctypes.c_int
+        lib.shk_emit.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
+        lib.shk_n_associations.restype = ctypes.c_long
+        lib.shk_n_associations.argtypes = [ctypes.c_void_p]
+        lib.shk_n_reads_out.restype = ctypes.c_long
+        lib.shk_n_reads_out.argtypes = [ctypes.c_void_p]
+        lib.shk_error.restype = ctypes.c_char_p
+        lib.shk_error.argtypes = [ctypes.c_void_p]
+        lib.shk_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+class NativeStream:
+    """Streaming parse/encode + output write through the native engine.
+
+    Usage:
+        ns = NativeStream(fq1, fq2, batch_size, max_len, min_quality)
+        ns.set_output(ssv_fd_or_path, out1, out2)
+        ns.register_genes(names)
+        for codes, slot, n in ns.batches():   # codes: uint8 [B, L]
+            ... dispatch to device ...
+            ns.emit(slot, read_idx, gene_idx)
+    """
+
+    def __init__(
+        self,
+        fq1: str,
+        fq2: str,
+        batch_size: int,
+        max_len: int,
+        min_quality: int,
+    ):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native engine unavailable")
+        self._lib = lib
+        self._h = lib.shk_open(
+            fq1.encode(), (fq2 or "").encode(), batch_size, max_len, min_quality
+        )
+        if not self._h:
+            raise OSError(f"cannot open {fq1} / {fq2}")
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self._names_ref = None  # keep char* array alive
+
+    def set_output(self, ssv_fd: int, ssv_path: str, out1: str, out2: str):
+        rc = self._lib.shk_set_output(
+            self._h, ssv_fd, ssv_path.encode(), out1.encode(), out2.encode()
+        )
+        if rc != 0:
+            raise OSError("cannot open output files")
+
+    def register_genes(self, names: List[str]) -> None:
+        arr = (ctypes.c_char_p * len(names))(*[n.encode() for n in names])
+        self._names_ref = arr
+        self._lib.shk_register_genes(self._h, arr, len(names))
+
+    def next_batch(self):
+        """Returns (codes uint8[B,L], slot, n) or None at EOF."""
+        codes = np.empty((self.batch_size, self.max_len), dtype=np.uint8)
+        slot = ctypes.c_int(-1)
+        n = self._lib.shk_next(
+            self._h,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(slot),
+        )
+        if n < 0:
+            raise ValueError(self._lib.shk_error(self._h).decode())
+        if n == 0:
+            return None
+        return codes, slot.value, n
+
+    def emit(self, slot: int, read_idx: np.ndarray, gene_idx: np.ndarray):
+        n = len(read_idx)
+        if n == 0:
+            return
+        read_idx = np.ascontiguousarray(read_idx, dtype=np.int32)
+        gene_idx = np.ascontiguousarray(gene_idx, dtype=np.int32)
+        rc = self._lib.shk_emit(
+            self._h,
+            slot,
+            read_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            gene_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+        )
+        if rc != 0:
+            raise ValueError("emit failed (bad read/gene index)")
+
+    @property
+    def n_associations(self) -> int:
+        return self._lib.shk_n_associations(self._h)
+
+    @property
+    def n_reads_out(self) -> int:
+        return self._lib.shk_n_reads_out(self._h)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.shk_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def available() -> bool:
+    return get_lib() is not None

@@ -1,0 +1,314 @@
+// Native host I/O engine: streaming FASTQ parse + 2-bit encode + output.
+//
+// Replaces the Python ingest/output path with the same semantics as the
+// reference's host pipeline stages:
+//   - record parsing follows kseq (reference kseq.h:177-218): name is the
+//     header token up to the first whitespace, sequences/qualities may span
+//     multiple lines, gzip input supported (zlib);
+//   - pair fusion and quality masking follow FastqSplitter (reference
+//     FastqSplitter.hpp:47-113): pairs classify jointly as
+//     seq1 + separator + seq2, bases with qual < minq+33 are masked
+//     invalid, and the ORIGINAL seq/qual bytes are kept for output;
+//   - output follows ReadOutput (reference ReadOutput.hpp:37-50): one
+//     "id gene\n" ssv line per association, one 4-line FASTQ record per
+//     emitted read per mate file, deduped per read.
+//
+// Exposed as a C ABI consumed via ctypes (shark_tpu/io/native.py). Batches
+// live in a ring so several can be in flight while the device pipeline
+// runs ahead.
+//
+// Build: g++ -O3 -march=native -std=c++17 -shared -fPIC -o _shark_native.so
+//        shark_native.cpp -lz
+
+#include <unistd.h>
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Record {
+  std::string name, seq, qual;
+};
+
+// Buffered gz line reader (gzgets is slow; read big chunks ourselves).
+class LineReader {
+ public:
+  explicit LineReader(const char* path) : gz_(gzopen(path, "rb")) {
+    gzbuffer(gz_, 1 << 20);
+  }
+  ~LineReader() {
+    if (gz_) gzclose(gz_);
+  }
+  bool ok() const { return gz_ != nullptr; }
+
+  // Returns false at EOF. Strips trailing \n / \r\n.
+  bool getline(std::string& out) {
+    out.clear();
+    while (true) {
+      if (pos_ == len_) {
+        len_ = gzread(gz_, buf_, sizeof(buf_));
+        pos_ = 0;
+        if (len_ <= 0) return !out.empty();
+      }
+      char* nl = (char*)memchr(buf_ + pos_, '\n', len_ - pos_);
+      if (nl) {
+        out.append(buf_ + pos_, nl - (buf_ + pos_));
+        pos_ = (nl - buf_) + 1;
+        if (!out.empty() && out.back() == '\r') out.pop_back();
+        return true;
+      }
+      out.append(buf_ + pos_, len_ - pos_);
+      pos_ = len_;
+    }
+  }
+
+ private:
+  gzFile gz_ = nullptr;
+  char buf_[1 << 20];
+  int pos_ = 0, len_ = 0;
+};
+
+// kseq-style FASTQ record reader over LineReader.
+class FastqReader {
+ public:
+  explicit FastqReader(const char* path) : lr_(path) {}
+  bool ok() const { return lr_.ok(); }
+
+  bool next(Record& r) {
+    std::string line;
+    if (!have_header_) {
+      do {
+        if (!lr_.getline(line)) return false;
+      } while (line.empty());
+      if (line[0] != '@') return false;
+      header_ = line;
+    }
+    have_header_ = false;
+    size_t sp = header_.find_first_of(" \t", 1);
+    r.name.assign(header_, 1, (sp == std::string::npos ? header_.size() : sp) - 1);
+    r.seq.clear();
+    r.qual.clear();
+    // sequence lines until '+'
+    while (lr_.getline(line)) {
+      if (!line.empty() && line[0] == '+') {
+        // quality lines until length matches
+        while (r.qual.size() < r.seq.size() && lr_.getline(line))
+          r.qual += line;
+        return r.qual.size() == r.seq.size();
+      }
+      r.seq += line;
+    }
+    return false;
+  }
+
+ private:
+  LineReader lr_;
+  std::string header_;
+  bool have_header_ = false;
+};
+
+int8_t CODE[256];
+struct CodeInit {
+  CodeInit() {
+    memset(CODE, 4, sizeof(CODE));
+    CODE[(int)'A'] = CODE[(int)'a'] = 0;
+    CODE[(int)'C'] = CODE[(int)'c'] = 1;
+    CODE[(int)'G'] = CODE[(int)'g'] = 2;
+    CODE[(int)'T'] = CODE[(int)'t'] = 3;
+  }
+} code_init;
+
+struct Batch {
+  std::vector<Record> r1, r2;
+  int n = 0;
+};
+
+constexpr int kRing = 8;
+
+struct Stream {
+  FastqReader* f1 = nullptr;
+  FastqReader* f2 = nullptr;
+  int batch_size = 0, max_len = 0, min_quality = 0;
+  bool paired = false;
+  Batch ring[kRing];
+  long next_id = 0;
+
+  FILE* ssv = nullptr;
+  FILE* out1 = nullptr;
+  FILE* out2 = nullptr;
+  bool own_ssv = false;
+  std::vector<std::string> gene_names;
+  long n_associations = 0;
+  long n_reads_out = 0;
+  std::string err;
+};
+
+void encode_into(const Record& r, int min_quality, uint8_t* dst, int cap,
+                 int off, bool* overflow) {
+  int n = (int)r.seq.size();
+  if (off + n > cap) {
+    *overflow = true;
+    n = cap - off;
+    if (n <= 0) return;
+  }
+  const char* s = r.seq.data();
+  for (int i = 0; i < n; i++) dst[off + i] = CODE[(uint8_t)s[i]];
+  if (min_quality > 0) {
+    const char* q = r.qual.data();
+    char cut = (char)(min_quality + 33);
+    for (int i = 0; i < n; i++)
+      if (q[i] < cut) dst[off + i] = 4;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* shk_open(const char* fq1, const char* fq2, int batch_size, int max_len,
+               int min_quality) {
+  Stream* s = new Stream;
+  s->batch_size = batch_size;
+  s->max_len = max_len;
+  s->min_quality = min_quality;
+  s->f1 = new FastqReader(fq1);
+  if (!s->f1->ok()) {
+    delete s->f1;
+    delete s;
+    return nullptr;
+  }
+  if (fq2 && fq2[0]) {
+    s->f2 = new FastqReader(fq2);
+    if (!s->f2->ok()) {
+      delete s->f1;
+      delete s->f2;
+      delete s;
+      return nullptr;
+    }
+    s->paired = true;
+  }
+  return s;
+}
+
+// Fill codes [batch_size, max_len] (pre-filled by caller or overwritten
+// here) for the next batch; returns reads in batch (0 = EOF, -1 = error),
+// and writes the batch's ring slot id to *slot_out.
+int shk_next(void* h, uint8_t* codes, int* slot_out) {
+  Stream* s = (Stream*)h;
+  int slot = (int)(s->next_id % kRing);
+  Batch& b = s->ring[slot];
+  b.r1.resize(s->batch_size);
+  if (s->paired) b.r2.resize(s->batch_size);
+  memset(codes, 4, (size_t)s->batch_size * s->max_len);
+  bool overflow = false;
+  int n = 0;
+  while (n < s->batch_size) {
+    if (!s->f1->next(b.r1[n])) break;
+    if (s->paired && !s->f2->next(b.r2[n])) break;  // reference stops when
+                                                    // either file ends
+    uint8_t* row = codes + (size_t)n * s->max_len;
+    encode_into(b.r1[n], s->min_quality, row, s->max_len, 0, &overflow);
+    if (s->paired) {
+      int off = (int)b.r1[n].seq.size() + 1;  // invalid separator column
+      encode_into(b.r2[n], s->min_quality, row, s->max_len, off, &overflow);
+    }
+    n++;
+  }
+  if (overflow) {
+    s->err = "read longer than max_len";
+    return -1;
+  }
+  b.n = n;
+  *slot_out = slot;
+  s->next_id++;
+  return n;
+}
+
+int shk_set_output(void* h, int ssv_fd, const char* ssv_path,
+                   const char* out1, const char* out2) {
+  Stream* s = (Stream*)h;
+  if (ssv_path && ssv_path[0]) {
+    s->ssv = fopen(ssv_path, "wb");
+    s->own_ssv = true;
+  } else {
+    s->ssv = fdopen(dup(ssv_fd), "wb");
+    s->own_ssv = true;
+  }
+  if (!s->ssv) return -1;
+  if (out1 && out1[0]) {
+    s->out1 = fopen(out1, "wb");
+    if (!s->out1) return -1;
+  }
+  if (out2 && out2[0]) {
+    s->out2 = fopen(out2, "wb");
+    if (!s->out2) return -1;
+  }
+  return 0;
+}
+
+void shk_register_genes(void* h, const char** names, int n) {
+  Stream* s = (Stream*)h;
+  s->gene_names.assign(names, names + n);
+}
+
+static void write_fastq(FILE* f, const Record& r) {
+  fputc('@', f);
+  fwrite(r.name.data(), 1, r.name.size(), f);
+  fputc('\n', f);
+  fwrite(r.seq.data(), 1, r.seq.size(), f);
+  fwrite("\n+\n", 1, 3, f);
+  fwrite(r.qual.data(), 1, r.qual.size(), f);
+  fputc('\n', f);
+}
+
+// Emit associations for one batch: (read_idx, gene_idx) pairs, grouped by
+// read in ascending read order (multiple genes per read allowed, the read's
+// FASTQ records are written once).
+int shk_emit(void* h, int slot, const int32_t* read_idx,
+             const int32_t* gene_idx, int n_assoc) {
+  Stream* s = (Stream*)h;
+  Batch& b = s->ring[slot];
+  int prev = -1;
+  for (int i = 0; i < n_assoc; i++) {
+    int r = read_idx[i];
+    int g = gene_idx[i];
+    if (r < 0 || r >= b.n || g < 0 || g >= (int)s->gene_names.size())
+      return -1;
+    const Record& rec = b.r1[r];
+    fwrite(rec.name.data(), 1, rec.name.size(), s->ssv);
+    fputc(' ', s->ssv);
+    const std::string& gn = s->gene_names[g];
+    fwrite(gn.data(), 1, gn.size(), s->ssv);
+    fputc('\n', s->ssv);
+    s->n_associations++;
+    if (r != prev) {
+      s->n_reads_out++;
+      if (s->out1) write_fastq(s->out1, rec);
+      if (s->out2 && s->paired) write_fastq(s->out2, b.r2[r]);
+      prev = r;
+    }
+  }
+  return 0;
+}
+
+long shk_n_associations(void* h) { return ((Stream*)h)->n_associations; }
+long shk_n_reads_out(void* h) { return ((Stream*)h)->n_reads_out; }
+
+const char* shk_error(void* h) { return ((Stream*)h)->err.c_str(); }
+
+void shk_close(void* h) {
+  Stream* s = (Stream*)h;
+  if (s->ssv) fclose(s->ssv);
+  if (s->out1) fclose(s->out1);
+  if (s->out2) fclose(s->out2);
+  delete s->f1;
+  delete s->f2;
+  delete s;
+}
+
+}  // extern "C"

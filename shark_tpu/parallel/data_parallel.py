@@ -17,7 +17,9 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from shark_tpu.classify.step import (
+    DeviceIndex,
     StaticMeta,
+    build_device_index,
     classify_kernel,
     emit_threshold_table,
 )
@@ -41,13 +43,11 @@ class DataParallelClassifier:
         self.n_devices = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
         repl = NamedSharding(self.mesh, P())
         self._repl = repl
-        self.bf_words = jax.device_put(index.bf_words, repl)
-        self.word_rank = jax.device_put(index.word_rank, repl)
-        gene_ids = index.gene_ids
-        if gene_ids.size == 0:
-            gene_ids = np.zeros(1, dtype=np.uint16)
-        self.offsets = jax.device_put(index.offsets, repl)
-        self.gene_ids = jax.device_put(gene_ids, repl)
+        bf_rank, gene_mat = build_device_index(index)
+        self.dix = DeviceIndex(
+            bf_rank=jax.device_put(bf_rank, repl),
+            gene_mat=jax.device_put(gene_mat, repl),
+        )
         self._fns = {}
         self._thresh = {}
 
@@ -62,10 +62,7 @@ class DataParallelClassifier:
             fn = jax.jit(
                 kern,
                 in_shardings=(
-                    self._repl,
-                    self._repl,
-                    self._repl,
-                    self._repl,
+                    DeviceIndex(bf_rank=self._repl, gene_mat=self._repl),
                     self._repl,
                     batch_sharded,
                 ),
@@ -89,11 +86,4 @@ class DataParallelClassifier:
                 f"batch size {B} not divisible by {self.n_devices} devices"
             )
         fn = self._fn(codes.shape[1])
-        return fn(
-            self.bf_words,
-            self.word_rank,
-            self.offsets,
-            self.gene_ids,
-            self._thresh[codes.shape[1]],
-            codes,
-        )
+        return fn(self.dix, self._thresh[codes.shape[1]], codes)

@@ -1,0 +1,279 @@
+"""Sharded-Bloom-filter classification: index larger than one chip's HBM.
+
+The reference has no analogue (its index is a single shared-memory
+structure, bloomfilter.h:36-203); this is the TPU-native scale-out design
+from SURVEY.md §5/§7: partition the Bloom address space across the mesh,
+route each probe to the owner chip over ICI with `all_to_all`, and return
+each probe's (degree, gene-list) row to the read's home chip, where the
+coverage/winner reduction runs exactly as in the replicated path.
+
+Inside one `shard_map` over mesh axis "dp", each device holds
+  - a batch shard  codes[B/n, L]
+  - an index shard: the bf_rank words and gene rows of its contiguous
+    1/n-th of the Bloom address space (ranks are LOCAL to the shard, so
+    each shard is a complete mini-index of its range)
+and one step performs:
+  hash -> owner = word_idx // words_per_shard
+  bucket-compact probes by owner (sort + positional pack, fixed capacity)
+  all_to_all probe buckets -> owners probe locally (two gathers)
+  all_to_all replies back -> scatter into [B/n, L, D+1] -> finish_kernel
+
+Bucket capacity is `slack * P/n` (P probes per device); XXH64 spreads
+probes uniformly so overflow is statistically negligible for slack >= 1.5
+at realistic sizes. Overflowed probes (dropped, counted) are reported per
+batch so the host can fall back / resize; `overflow == 0` is asserted in
+the pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shark_tpu.classify.step import (
+    DeviceIndex,
+    StaticMeta,
+    emit_threshold_table,
+    finish_kernel,
+    hash_positions,
+    probe_local,
+)
+from shark_tpu.index.structure import SharkIndex
+from shark_tpu.parallel.mesh import make_mesh
+
+MISS_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def shard_index(index: SharkIndex, n: int):
+    """Split a host SharkIndex into n address-range shards of DeviceIndex
+    arrays, stacked on a leading shard axis for shard_map consumption."""
+    n_words = index.bf_words.size
+    if n_words % n != 0:
+        raise ValueError(f"{n_words} bloom words not divisible by {n} shards")
+    wps = n_words // n
+    deg_all = np.diff(index.offsets).astype(np.int64)
+    D = (
+        1 << int(np.ceil(np.log2(max(1, index.max_degree))))
+        if index.n_set_bits
+        else 1
+    )
+    # per-shard set-bit counts via the word rank at shard boundaries
+    pop = None
+    bf_ranks = np.empty((n, wps, 2), dtype=np.uint32)
+    gene_mats = []
+    max_rows = 1
+    bounds = np.empty(n + 1, dtype=np.int64)
+    bounds[0] = 0
+    for s in range(n):
+        lo_word = s * wps
+        hi_word = (s + 1) * wps
+        base = int(index.word_rank[lo_word])
+        end = (
+            int(index.word_rank[hi_word])
+            if hi_word < n_words
+            else index.n_set_bits
+        )
+        bounds[s + 1] = end
+        bf_ranks[s, :, 0] = index.bf_words[lo_word:hi_word]
+        bf_ranks[s, :, 1] = index.word_rank[lo_word:hi_word] - base
+        max_rows = max(max_rows, end - base)
+    for s in range(n):
+        base, end = int(bounds[s]), int(bounds[s + 1])
+        gm = np.zeros((max_rows, D + 1), dtype=np.uint16)
+        cnt = end - base
+        if cnt:
+            deg = deg_all[base:end]
+            gm[:cnt, 0] = deg
+            rows = np.repeat(np.arange(cnt), deg)
+            lo_assoc = int(index.offsets[base])
+            hi_assoc = int(index.offsets[end])
+            cols = np.arange(hi_assoc - lo_assoc) - np.repeat(
+                (index.offsets[base:end] - lo_assoc).astype(np.int64), deg
+            )
+            gm[rows, cols + 1] = index.gene_ids[lo_assoc:hi_assoc]
+        gene_mats.append(gm)
+    return bf_ranks, np.stack(gene_mats), wps, D
+
+
+def _route_probe_return(
+    dix_shard: DeviceIndex,
+    word_idx: jnp.ndarray,  # int32[b, L] global word indices
+    bit_off: jnp.ndarray,  # uint32[b, L]
+    win_valid: jnp.ndarray,  # bool[b, L]
+    *,
+    n: int,
+    wps: int,
+    cap: int,
+    D: int,
+    axis: str,
+):
+    """The all_to_all hash-routing round. Returns (gm [b,L,D+1], hit [b,L],
+    overflow count)."""
+    b, L = word_idx.shape
+    Pn = b * L
+    flat_word = word_idx.reshape(Pn)
+    flat_bit = bit_off.reshape(Pn).astype(jnp.uint32)
+    flat_valid = win_valid.reshape(Pn)
+
+    owner = (flat_word // wps).astype(jnp.int32)
+    # sort probes by owner, keeping original position
+    sort_key = owner.astype(jnp.uint32) * jnp.uint32(Pn) + jax.lax.iota(
+        jnp.uint32, Pn
+    )
+    sort_key = jnp.where(flat_valid, sort_key, jnp.uint32(n) * jnp.uint32(Pn))
+    skey = jnp.sort(sort_key)
+    s_owner = (skey // Pn).astype(jnp.int32)
+    s_pos = (skey % Pn).astype(jnp.int32)
+    s_valid = s_owner < n
+    # within-owner slot: running index minus owner's first index
+    idx = jax.lax.iota(jnp.int32, Pn)
+    prev_owner = jnp.roll(s_owner, 1).at[0].set(-1)
+    seg_start = s_valid & (s_owner != prev_owner)
+    base = jax.lax.cummax(jnp.where(seg_start, idx, 0), axis=0)
+    slot = idx - base
+    ok = s_valid & (slot < cap)
+    overflow = jnp.sum((s_valid & (slot >= cap)).astype(jnp.int32))
+
+    # pack (local_bit_addr) per owner bucket; sentinel marks empty slots
+    g_word = jnp.take(flat_word, s_pos)
+    g_bit = jnp.take(flat_bit, s_pos)
+    g_valid = jnp.take(flat_valid, s_pos)
+    local_addr = (
+        ((g_word - s_owner * wps).astype(jnp.uint32) << 5) | g_bit
+    )
+    send = jnp.full((n, cap), MISS_SENTINEL, dtype=jnp.uint32)
+    send = send.at[s_owner, slot].set(
+        jnp.where(ok & g_valid, local_addr, MISS_SENTINEL), mode="drop"
+    )
+
+    # route to owners
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    recv = recv.reshape(n, cap)
+
+    # owner-side probe of the local shard
+    r_word = (recv >> 5).astype(jnp.int32)
+    r_bit = recv & 31
+    r_valid = recv != MISS_SENTINEL
+    r_word = jnp.where(r_valid, r_word, 0)
+    gm_r, hit_r = probe_local(dix_shard, r_word, r_bit, r_valid)
+    reply = jnp.where(
+        hit_r[..., None], gm_r, jnp.uint16(0)
+    )  # [n, cap, D+1]
+
+    # route replies back
+    back = jax.lax.all_to_all(reply, axis, split_axis=0, concat_axis=0)
+    back = back.reshape(n, cap, D + 1)
+
+    # scatter replies to original probe positions
+    gm_flat = jnp.zeros((Pn, D + 1), dtype=jnp.uint16)
+    vals = back[s_owner, slot]  # [Pn, D+1] (garbage where !ok)
+    gm_flat = gm_flat.at[jnp.where(ok, s_pos, Pn)].set(
+        jnp.where(ok[:, None], vals, 0), mode="drop"
+    )
+    gm = gm_flat.reshape(b, L, D + 1)
+    hit = gm[..., 0] > 0
+    return gm, hit, overflow
+
+
+class ShardedBFClassifier:
+    """Classify against an index sharded by Bloom address range across the
+    mesh. The batch is data-parallel on the same axis."""
+
+    def __init__(
+        self,
+        index: SharkIndex,
+        max_winners: int = 16,
+        c: float = 0.6,
+        mesh: Mesh | None = None,
+        n_devices: int = 0,
+        slack: float = 2.0,
+    ):
+        self.index = index
+        self.max_winners = max_winners
+        self.c = c
+        self.mesh = mesh or make_mesh(n_devices)
+        self.axis = self.mesh.axis_names[0]
+        self.n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        self.slack = slack
+        bf_ranks, gene_mats, self.wps, self.D = shard_index(index, self.n)
+        shard0 = NamedSharding(self.mesh, P(self.axis))
+        self.dix = DeviceIndex(
+            bf_rank=jax.device_put(bf_ranks, shard0),
+            gene_mat=jax.device_put(gene_mats, shard0),
+        )
+        self._fns = {}
+        self._thresh = {}
+
+    def _fn(self, B: int, L: int):
+        key = (B, L)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        meta = StaticMeta.for_index(self.index, L)
+        n, wps, D, axis = self.n, self.wps, self.D, self.axis
+        b = B // n
+        cap = int(np.ceil(self.slack * b * L / n))
+        cap = max(cap, 8)
+        max_winners = self.max_winners
+
+        def step(dix_shard, thresh, codes):
+            # shapes inside shard_map: codes [b, L]; dix_shard has the
+            # leading shard axis reduced to 1 -> squeeze it
+            dix_local = DeviceIndex(
+                bf_rank=dix_shard.bf_rank[0], gene_mat=dix_shard.gene_mat[0]
+            )
+            word_idx, bit_off, win_valid = hash_positions(codes, meta)
+            gm, hit, ovf = _route_probe_return(
+                dix_local,
+                word_idx,
+                bit_off,
+                win_valid,
+                n=n,
+                wps=wps,
+                cap=cap,
+                D=D,
+                axis=axis,
+            )
+            out = finish_kernel(
+                gm, hit, codes, thresh, meta=meta, max_winners=max_winners
+            )
+            return out + (ovf[None],)
+
+        mesh = self.mesh
+        fn = jax.jit(
+            jax.shard_map(
+                step,
+                mesh=mesh,
+                in_specs=(
+                    DeviceIndex(bf_rank=P(self.axis), gene_mat=P(self.axis)),
+                    P(),
+                    P(self.axis),
+                ),
+                out_specs=(
+                    P(self.axis),
+                    P(self.axis),
+                    P(self.axis),
+                    P(self.axis),
+                    P(self.axis),
+                ),
+                check_vma=False,
+            )
+        )
+        self._fns[key] = fn
+        if L not in self._thresh:
+            self._thresh[L] = jax.device_put(
+                emit_threshold_table(self.c, L), NamedSharding(self.mesh, P())
+            )
+        return fn
+
+    def __call__(self, codes: np.ndarray):
+        B, L = codes.shape
+        if B % self.n != 0:
+            raise ValueError(f"batch {B} not divisible by {self.n} devices")
+        fn = self._fn(B, L)
+        return fn(self.dix, self._thresh[L], codes)

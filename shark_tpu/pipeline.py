@@ -138,6 +138,129 @@ def _drain(
             )
 
 
+def _winner_pairs(
+    cfg: SharkConfig,
+    index: SharkIndex,
+    result,
+    n: int,
+    codes: np.ndarray,
+    max_winners: int,
+):
+    """Device result -> (read_idx, gene_idx) association arrays, read-ascending,
+    genes ascending within a read (the reference's emission order,
+    ReadAnalyzer.hpp:104-108 + ReadOutput.hpp:43-48)."""
+    from shark_tpu.classify.step import (
+        PACK_EMIT_SHIFT,
+        PACK_NW_BITS,
+        PACK_NW_SHIFT,
+    )
+
+    packed_dev, winners_dev = result[0], result[1]
+    packed = np.asarray(packed_dev)[:n]
+    winner0 = packed & ((1 << PACK_NW_SHIFT) - 1)
+    n_winners = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
+    emit = ((packed >> PACK_EMIT_SHIFT) & 1).astype(bool) & (n_winners > 0)
+    if cfg.single:
+        emit &= n_winners == 1
+    rows = np.flatnonzero(emit)
+    if rows.size == 0:
+        return rows.astype(np.int32), rows.astype(np.int32)
+    nw = n_winners[rows]
+    sat = (1 << PACK_NW_BITS) - 1
+    overflow = (nw > max_winners) | (nw == sat)
+    if not np.any(nw > 1):
+        return rows.astype(np.int32), winner0[rows].astype(np.int32)
+    winners = np.asarray(winners_dev)
+    if not np.any(overflow):
+        W = winners.shape[1]
+        counts = np.minimum(nw, W)
+        gmat = winners[rows]
+        mask = np.arange(W)[None, :] < counts[:, None]
+        r_idx = np.repeat(rows, counts)
+        g_idx = gmat[mask]
+        return r_idx.astype(np.int32), g_idx.astype(np.int32)
+    # rare: a read tied across more genes than the device compaction width;
+    # recompute those rows with the host oracle
+    from shark_tpu.classify.oracle import classify_read
+
+    shim = _ShimIndex(index)
+    r_list: List[int] = []
+    g_list: List[int] = []
+    for j, i in enumerate(rows):
+        if overflow[j]:
+            wins, _, _ = classify_read(shim, codes[i], cfg.c, cfg.single)
+        else:
+            wins = winners[i, : nw[j]].tolist()
+        r_list.extend([int(i)] * len(wins))
+        g_list.extend(int(g) for g in wins)
+    return (
+        np.asarray(r_list, dtype=np.int32),
+        np.asarray(g_list, dtype=np.int32),
+    )
+
+
+def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
+    """Fast path: parse/encode/write in the native C++ engine, device in a
+    DEPTH-deep software pipeline. Requires a fixed max_read_len."""
+    from shark_tpu.io.native import NativeStream
+
+    ns = NativeStream(
+        cfg.sample1_path,
+        cfg.sample2_path,
+        cfg.batch_size,
+        cfg.max_read_len,
+        cfg.min_quality,
+    )
+    ns.set_output(1, cfg.ssv_path, cfg.out1_path, cfg.out2_path)
+    ns.register_genes(index.gene_names)
+
+    import jax
+
+    warm = np.full((cfg.batch_size, cfg.max_read_len), 4, dtype=np.uint8)
+    np.asarray(classifier(warm)[0])
+    timer.mark("Device warmup")
+    warm_s = timer.elapsed()
+
+    n_reads = 0
+    pending = []
+    DEPTH = 3
+    while True:
+        nb = ns.next_batch()
+        if nb is None:
+            break
+        codes, slot, n = nb
+        result = classifier(codes)
+        try:
+            result[0].copy_to_host_async()
+        except AttributeError:
+            pass
+        pending.append((codes, slot, n, result))
+        n_reads += n
+        if len(pending) > DEPTH:
+            c_, s_, n_, r_ = pending.pop(0)
+            ri, gi = _winner_pairs(cfg, index, r_, n_, c_, cfg.max_winners)
+            ns.emit(s_, ri, gi)
+    for c_, s_, n_, r_ in pending:
+        ri, gi = _winner_pairs(cfg, index, r_, n_, c_, cfg.max_winners)
+        ns.emit(s_, ri, gi)
+
+    timer.mark("Sample completed")
+    timer.rate("throughput", n_reads, "reads")
+    elapsed = timer.elapsed()
+    stats = {
+        "n_reads": n_reads,
+        "n_associations": int(ns.n_associations),
+        "n_reads_out": int(ns.n_reads_out),
+        "n_genes": index.n_genes,
+        "elapsed_s": elapsed,
+        "warmup_s": warm_s,
+        "classify_s": elapsed - warm_s,
+        "native": True,
+    }
+    ns.close()
+    return stats
+
+
 def load_or_build_index(cfg: SharkConfig, timer: PhaseTimer) -> SharkIndex:
     if cfg.load_index:
         index = SharkIndex.load(cfg.load_index)
@@ -192,6 +315,17 @@ def run_pipeline(cfg: SharkConfig, ssv_stream=None) -> dict:
         )
     else:
         classifier = Classifier(index, max_winners=cfg.max_winners, c=cfg.c)
+
+    if cfg.use_native and cfg.max_read_len and ssv_stream is None:
+        from shark_tpu.io import native as native_mod
+
+        if native_mod.available():
+            stats = _run_native(cfg, index, classifier, timer)
+            stats["index_s"] = index_s
+            stats["warmup_s"] -= index_s
+            stats["classify_s"] = stats["elapsed_s"] - index_s - stats["warmup_s"]
+            return stats
+
     writer = OutputWriter(
         ssv_stream or sys.stdout, cfg.out1_path, cfg.out2_path
     )

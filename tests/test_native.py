@@ -1,0 +1,104 @@
+"""Native C++ host I/O engine vs the pure-Python path."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from shark_tpu.io import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native engine unavailable"
+)
+
+
+def test_native_encode_matches_python(example_dir):
+    from shark_tpu.io.encode import encode_batch
+    from shark_tpu.io.fastx import read_fastq_pairs
+
+    B, L = 512, 256
+    ns = native.NativeStream(
+        str(example_dir / "sample_1.fq"),
+        str(example_dir / "sample_2.fq"),
+        B,
+        L,
+        0,
+    )
+    pairs = read_fastq_pairs(
+        str(example_dir / "sample_1.fq"), str(example_dir / "sample_2.fq")
+    )
+    it = iter(pairs)
+    total = 0
+    while True:
+        nb = ns.next_batch()
+        if nb is None:
+            break
+        codes, slot, n = nb
+        recs1, recs2 = [], []
+        for _ in range(n):
+            r1, r2 = next(it)
+            recs1.append(r1)
+            recs2.append(r2)
+        ref = encode_batch(recs1, recs2, 0, B, L)
+        np.testing.assert_array_equal(codes[:n], ref.codes[:n])
+        total += n
+    assert total == 5000
+    ns.close()
+
+
+def test_native_quality_masking(tmp_path):
+    fq = tmp_path / "r.fq"
+    fq.write_bytes(b"@r1\nACGT\n+\nII!I\n")  # '!' = phred 0
+    ns = native.NativeStream(str(fq), "", 4, 16, 10)
+    codes, slot, n = ns.next_batch()
+    assert n == 1
+    assert codes[0, :4].tolist() == [0, 1, 4, 3]  # low-qual G masked
+    ns.close()
+
+
+def test_native_gzip(tmp_path, example_dir):
+    import gzip
+
+    raw = (example_dir / "sample_1.fq").read_bytes()
+    gz = tmp_path / "s.fq.gz"
+    gz.write_bytes(gzip.compress(raw[: 4 * 400]))  # first 400 lines worth
+    ns = native.NativeStream(str(gz), "", 1024, 256, 0)
+    got = 0
+    while (nb := ns.next_batch()) is not None:
+        got += nb[2]
+    assert got > 0
+    ns.close()
+
+
+@pytest.mark.slow
+def test_native_pipeline_golden(example_dir, tmp_path):
+    """Full pipeline through the native engine: byte-exact vs truth files."""
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import run_pipeline
+
+    out1 = tmp_path / "n1.fq"
+    out2 = tmp_path / "n2.fq"
+    ssv = tmp_path / "out.ssv"
+    cfg = SharkConfig(
+        fasta_path=str(example_dir / "ENSG00000277117.fa"),
+        sample1_path=str(example_dir / "sample_1.fq"),
+        sample2_path=str(example_dir / "sample_2.fq"),
+        out1_path=str(out1),
+        out2_path=str(out2),
+        ssv_path=str(ssv),
+        batch_size=2048,
+        max_read_len=256,
+    )
+    stats = run_pipeline(cfg)
+    assert stats.get("native"), "native path not taken"
+    assert stats["n_reads"] == 5000
+    assert ssv.read_bytes() == (
+        example_dir / "ENSG00000277117.truth.ssv"
+    ).read_bytes()
+    assert out1.read_bytes() == (
+        example_dir / "sharked.sample_1.truth.fq"
+    ).read_bytes()
+    assert out2.read_bytes() == (
+        example_dir / "sharked.sample_2.truth.fq"
+    ).read_bytes()
