@@ -284,6 +284,34 @@ def classify_kernel(
     )
 
 
+def unpack_codes(packed: jnp.ndarray, vmask: jnp.ndarray) -> jnp.ndarray:
+    """(2-bit codes u8[B, L/4], validity bits u8[B, L/8]) -> byte codes
+    u8[B, L]. The packed form cuts host->device transfer 2.7x — transfer,
+    not compute, bounds tunneled/host-limited deployments."""
+    B, L4 = packed.shape
+    L = L4 * 4
+    shifts2 = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+    c = ((packed[:, :, None] >> shifts2) & 3).reshape(B, L)
+    bits = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+    v = ((vmask[:, :, None] >> bits) & 1).reshape(B, L)
+    return jnp.where(v == 1, c, jnp.uint8(INVALID))
+
+
+def classify_kernel_packed(
+    dix: DeviceIndex,
+    thresh: jnp.ndarray,
+    packed: jnp.ndarray,  # uint8[B, L/4]
+    vmask: jnp.ndarray,  # uint8[B, L/8]
+    *,
+    meta: StaticMeta,
+    max_winners: int,
+):
+    codes = unpack_codes(packed, vmask)
+    return classify_kernel(
+        dix, thresh, codes, meta=meta, max_winners=max_winners
+    )
+
+
 class Classifier:
     """Holds the device-resident index and a cache of jitted kernels keyed by
     padded batch geometry."""
@@ -308,22 +336,31 @@ class Classifier:
         self._fns = {}
         self._thresh = {}
 
-    def _fn(self, L: int):
-        fn = self._fns.get(L)
+    def _fn(self, L: int, packed: bool = False):
+        key = (L, packed)
+        fn = self._fns.get(key)
         if fn is None:
             meta = StaticMeta.for_index(self.index, L)
+            kern = classify_kernel_packed if packed else classify_kernel
             fn = jax.jit(
                 functools.partial(
-                    classify_kernel, meta=meta, max_winners=self.max_winners
+                    kern, meta=meta, max_winners=self.max_winners
                 )
             )
-            self._fns[L] = fn
-            self._thresh[L] = jax.device_put(
-                emit_threshold_table(self.c, L), self._dev
-            )
+            self._fns[key] = fn
+            if L not in self._thresh:
+                self._thresh[L] = jax.device_put(
+                    emit_threshold_table(self.c, L), self._dev
+                )
         return fn
 
     def __call__(self, codes: np.ndarray):
         """codes: uint8 [B, L] -> device result tuple (async)."""
         fn = self._fn(codes.shape[1])
         return fn(self.dix, self._thresh[codes.shape[1]], codes)
+
+    def call_packed(self, packed: np.ndarray, vmask: np.ndarray):
+        """packed u8[B, L/4] + validity u8[B, L/8] -> result tuple."""
+        L = packed.shape[1] * 4
+        fn = self._fn(L, packed=True)
+        return fn(self.dix, self._thresh[L], packed, vmask)

@@ -53,13 +53,17 @@ def get_lib():
         lib.shk_open.restype = ctypes.c_void_p
         lib.shk_open.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.shk_next.restype = ctypes.c_int
         lib.shk_next.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.shk_release.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.shk_set_output.restype = ctypes.c_int
         lib.shk_set_output.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
@@ -104,18 +108,25 @@ class NativeStream:
         batch_size: int,
         max_len: int,
         min_quality: int,
+        packed: bool = False,
     ):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native engine unavailable")
         self._lib = lib
         self._h = lib.shk_open(
-            fq1.encode(), (fq2 or "").encode(), batch_size, max_len, min_quality
+            fq1.encode(),
+            (fq2 or "").encode(),
+            batch_size,
+            max_len,
+            min_quality,
+            1 if packed else 0,
         )
         if not self._h:
-            raise OSError(f"cannot open {fq1} / {fq2}")
+            raise OSError(f"cannot open {fq1} / {fq2} (max_len % 8 != 0?)")
         self.batch_size = batch_size
         self.max_len = max_len
+        self.packed = packed
         self._names_ref = None  # keep char* array alive
 
     def set_output(self, ssv_fd: int, ssv_path: str, out1: str, out2: str):
@@ -131,23 +142,46 @@ class NativeStream:
         self._lib.shk_register_genes(self._h, arr, len(names))
 
     def next_batch(self):
-        """Returns (codes uint8[B,L], slot, n) or None at EOF."""
-        codes = np.empty((self.batch_size, self.max_len), dtype=np.uint8)
+        """Byte-codes mode: returns (codes uint8[B,L], slot, n) or None at
+        EOF. Packed mode: returns (packed u8[B,L/4], vmask u8[B,L/8], slot,
+        n) or None."""
         slot = ctypes.c_int(-1)
-        n = self._lib.shk_next(
-            self._h,
-            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.byref(slot),
-        )
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        if self.packed:
+            packed = np.empty(
+                (self.batch_size, self.max_len // 4), dtype=np.uint8
+            )
+            vmask = np.empty(
+                (self.batch_size, self.max_len // 8), dtype=np.uint8
+            )
+            n = self._lib.shk_next(
+                self._h,
+                None,
+                packed.ctypes.data_as(u8p),
+                vmask.ctypes.data_as(u8p),
+                ctypes.byref(slot),
+            )
+            out = (packed, vmask, slot.value, n)
+        else:
+            codes = np.empty((self.batch_size, self.max_len), dtype=np.uint8)
+            n = self._lib.shk_next(
+                self._h, codes.ctypes.data_as(u8p), None, None,
+                ctypes.byref(slot),
+            )
+            out = (codes, slot.value, n)
         if n < 0:
             raise ValueError(self._lib.shk_error(self._h).decode())
         if n == 0:
             return None
-        return codes, slot.value, n
+        return out
+
+    def release(self, slot: int) -> None:
+        self._lib.shk_release(self._h, slot)
 
     def emit(self, slot: int, read_idx: np.ndarray, gene_idx: np.ndarray):
         n = len(read_idx)
         if n == 0:
+            self._lib.shk_release(self._h, slot)
             return
         read_idx = np.ascontiguousarray(read_idx, dtype=np.int32)
         gene_idx = np.ascontiguousarray(gene_idx, dtype=np.int32)

@@ -23,10 +23,13 @@
 #include <unistd.h>
 #include <zlib.h>
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -125,7 +128,13 @@ struct CodeInit {
 
 struct Batch {
   std::vector<Record> r1, r2;
+  std::vector<uint8_t> codes;  // [batch_size, max_len] byte codes
+  std::vector<uint8_t> packed;  // [batch_size, max_len/4] 2-bit codes
+  std::vector<uint8_t> vmask;  // [batch_size, max_len/8] validity bits
   int n = 0;
+  // slot lifecycle: producer fills FILLED slots in order; consumer hands
+  // them to the device pipeline; shk_emit/shk_release frees them
+  enum State { FREE, FILLED } state = FREE;
 };
 
 constexpr int kRing = 8;
@@ -135,8 +144,15 @@ struct Stream {
   FastqReader* f2 = nullptr;
   int batch_size = 0, max_len = 0, min_quality = 0;
   bool paired = false;
+  bool pack_mode = false;
   Batch ring[kRing];
-  long next_id = 0;
+  long produce_id = 0;  // next slot the producer fills
+  long consume_id = 0;  // next slot the consumer takes
+  bool eof = false;
+  bool stop = false;
+  std::mutex mu;
+  std::condition_variable cv_free, cv_filled;
+  std::thread producer;
 
   FILE* ssv = nullptr;
   FILE* out1 = nullptr;
@@ -166,16 +182,95 @@ void encode_into(const Record& r, int min_quality, uint8_t* dst, int cap,
   }
 }
 
+// codes row -> 2-bit packed row + validity bitmask row.
+void pack_row(const uint8_t* codes, int L, uint8_t* packed, uint8_t* vmask) {
+  memset(packed, 0, L / 4);
+  memset(vmask, 0, L / 8);
+  for (int i = 0; i < L; i++) {
+    uint8_t c = codes[i];
+    if (c < 4) {
+      packed[i >> 2] |= c << ((i & 3) * 2);
+      vmask[i >> 3] |= 1 << (i & 7);
+    }
+  }
+}
+
+// Parse + encode one batch into `b`. Returns reads parsed; sets err on
+// overflow.
+int fill_batch(Stream* s, Batch& b) {
+  b.r1.resize(s->batch_size);
+  if (s->paired) b.r2.resize(s->batch_size);
+  size_t row_bytes = (size_t)s->max_len;
+  b.codes.assign((size_t)s->batch_size * row_bytes, 4);
+  bool overflow = false;
+  int n = 0;
+  while (n < s->batch_size) {
+    if (!s->f1->next(b.r1[n])) break;
+    if (s->paired && !s->f2->next(b.r2[n])) break;  // reference stops when
+                                                    // either file ends
+    uint8_t* row = b.codes.data() + (size_t)n * row_bytes;
+    encode_into(b.r1[n], s->min_quality, row, s->max_len, 0, &overflow);
+    if (s->paired) {
+      int off = (int)b.r1[n].seq.size() + 1;  // invalid separator column
+      encode_into(b.r2[n], s->min_quality, row, s->max_len, off, &overflow);
+    }
+    n++;
+  }
+  if (overflow) {
+    s->err = "read longer than max_len";
+    b.n = -1;
+    return -1;
+  }
+  if (s->pack_mode && n > 0) {
+    b.packed.resize((size_t)s->batch_size * (s->max_len / 4));
+    b.vmask.resize((size_t)s->batch_size * (s->max_len / 8));
+    memset(b.packed.data(), 0, b.packed.size());
+    memset(b.vmask.data(), 0, b.vmask.size());
+    for (int i = 0; i < n; i++)
+      pack_row(b.codes.data() + (size_t)i * row_bytes, s->max_len,
+               b.packed.data() + (size_t)i * (s->max_len / 4),
+               b.vmask.data() + (size_t)i * (s->max_len / 8));
+  }
+  b.n = n;
+  return n;
+}
+
+void producer_loop(Stream* s) {
+  while (true) {
+    long id;
+    {
+      std::unique_lock<std::mutex> lk(s->mu);
+      s->cv_free.wait(lk, [&] {
+        return s->stop || s->ring[s->produce_id % kRing].state == Batch::FREE;
+      });
+      if (s->stop) return;
+      id = s->produce_id;
+    }
+    Batch& b = s->ring[id % kRing];
+    int n = fill_batch(s, b);
+    {
+      std::unique_lock<std::mutex> lk(s->mu);
+      b.state = Batch::FILLED;
+      s->produce_id++;
+      if (n <= 0) s->eof = true;
+      s->cv_filled.notify_all();
+      if (n <= 0) return;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
 void* shk_open(const char* fq1, const char* fq2, int batch_size, int max_len,
-               int min_quality) {
+               int min_quality, int pack_mode) {
+  if (max_len % 8 != 0) return nullptr;
   Stream* s = new Stream;
   s->batch_size = batch_size;
   s->max_len = max_len;
   s->min_quality = min_quality;
+  s->pack_mode = pack_mode != 0;
   s->f1 = new FastqReader(fq1);
   if (!s->f1->ok()) {
     delete s->f1;
@@ -192,41 +287,57 @@ void* shk_open(const char* fq1, const char* fq2, int batch_size, int max_len,
     }
     s->paired = true;
   }
+  s->producer = std::thread(producer_loop, s);
   return s;
 }
 
-// Fill codes [batch_size, max_len] (pre-filled by caller or overwritten
-// here) for the next batch; returns reads in batch (0 = EOF, -1 = error),
-// and writes the batch's ring slot id to *slot_out.
-int shk_next(void* h, uint8_t* codes, int* slot_out) {
+// Take the next parsed batch from the prefetch ring. Copies byte codes
+// into `codes` (if non-null) and, in pack mode, the 2-bit codes +
+// validity bitmask into `packed`/`vmask` (if non-null). Returns reads in
+// the batch (0 = EOF, -1 = error) and the ring slot via *slot_out. The
+// slot stays pinned (records available to shk_emit) until shk_emit or
+// shk_release frees it.
+int shk_next(void* h, uint8_t* codes, uint8_t* packed, uint8_t* vmask,
+             int* slot_out) {
   Stream* s = (Stream*)h;
-  int slot = (int)(s->next_id % kRing);
+  long id;
+  {
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->cv_filled.wait(lk, [&] {
+      return s->ring[s->consume_id % kRing].state == Batch::FILLED;
+    });
+    id = s->consume_id;
+  }
+  int slot = (int)(id % kRing);
   Batch& b = s->ring[slot];
-  b.r1.resize(s->batch_size);
-  if (s->paired) b.r2.resize(s->batch_size);
-  memset(codes, 4, (size_t)s->batch_size * s->max_len);
-  bool overflow = false;
-  int n = 0;
-  while (n < s->batch_size) {
-    if (!s->f1->next(b.r1[n])) break;
-    if (s->paired && !s->f2->next(b.r2[n])) break;  // reference stops when
-                                                    // either file ends
-    uint8_t* row = codes + (size_t)n * s->max_len;
-    encode_into(b.r1[n], s->min_quality, row, s->max_len, 0, &overflow);
-    if (s->paired) {
-      int off = (int)b.r1[n].seq.size() + 1;  // invalid separator column
-      encode_into(b.r2[n], s->min_quality, row, s->max_len, off, &overflow);
-    }
-    n++;
+  if (b.n < 0) return -1;
+  if (b.n == 0) {  // EOF marker; recycle immediately
+    std::unique_lock<std::mutex> lk(s->mu);
+    b.state = Batch::FREE;
+    s->consume_id++;
+    s->cv_free.notify_all();
+    return 0;
   }
-  if (overflow) {
-    s->err = "read longer than max_len";
-    return -1;
+  if (codes)
+    memcpy(codes, b.codes.data(), (size_t)s->batch_size * s->max_len);
+  if (s->pack_mode && packed)
+    memcpy(packed, b.packed.data(), (size_t)s->batch_size * (s->max_len / 4));
+  if (s->pack_mode && vmask)
+    memcpy(vmask, b.vmask.data(), (size_t)s->batch_size * (s->max_len / 8));
+  {
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->consume_id++;
   }
-  b.n = n;
   *slot_out = slot;
-  s->next_id++;
-  return n;
+  return b.n;
+}
+
+// Free a ring slot without emitting (e.g. a batch with no verdicts).
+void shk_release(void* h, int slot) {
+  Stream* s = (Stream*)h;
+  std::unique_lock<std::mutex> lk(s->mu);
+  s->ring[slot].state = Batch::FREE;
+  s->cv_free.notify_all();
 }
 
 int shk_set_output(void* h, int ssv_fd, const char* ssv_path,
@@ -293,6 +404,7 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
       prev = r;
     }
   }
+  shk_release(h, slot);
   return 0;
 }
 
@@ -303,6 +415,12 @@ const char* shk_error(void* h) { return ((Stream*)h)->err.c_str(); }
 
 void shk_close(void* h) {
   Stream* s = (Stream*)h;
+  {
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->stop = true;
+    s->cv_free.notify_all();
+  }
+  if (s->producer.joinable()) s->producer.join();
   if (s->ssv) fclose(s->ssv);
   if (s->out1) fclose(s->out1);
   if (s->out2) fclose(s->out2);

@@ -188,7 +188,12 @@ def _winner_pairs(
     g_list: List[int] = []
     for j, i in enumerate(rows):
         if overflow[j]:
-            wins, _, _ = classify_read(shim, codes[i], cfg.c, cfg.single)
+            row = (
+                _unpack_row_np(codes[0][i], codes[1][i])
+                if isinstance(codes, tuple)
+                else codes[i]
+            )
+            wins, _, _ = classify_read(shim, row, cfg.c, cfg.single)
         else:
             wins = winners[i, : nw[j]].tolist()
         r_list.extend([int(i)] * len(wins))
@@ -199,25 +204,42 @@ def _winner_pairs(
     )
 
 
+def _unpack_row_np(packed_row: np.ndarray, vmask_row: np.ndarray) -> np.ndarray:
+    """Host-side unpack of one 2-bit packed read row (oracle fallback)."""
+    L = packed_row.size * 4
+    c = np.empty(L, dtype=np.uint8)
+    for j in range(4):
+        c[j::4] = (packed_row >> (2 * j)) & 3
+    v = np.empty(L, dtype=bool)
+    for j in range(8):
+        v[j::8] = (vmask_row >> j) & 1
+    return np.where(v, c, 4).astype(np.uint8)
+
+
 def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     """Fast path: parse/encode/write in the native C++ engine, device in a
     DEPTH-deep software pipeline. Requires a fixed max_read_len."""
     from shark_tpu.io.native import NativeStream
 
+    use_packed = hasattr(classifier, "call_packed") and cfg.max_read_len % 8 == 0
     ns = NativeStream(
         cfg.sample1_path,
         cfg.sample2_path,
         cfg.batch_size,
         cfg.max_read_len,
         cfg.min_quality,
+        packed=use_packed,
     )
     ns.set_output(1, cfg.ssv_path, cfg.out1_path, cfg.out2_path)
     ns.register_genes(index.gene_names)
 
-    import jax
-
-    warm = np.full((cfg.batch_size, cfg.max_read_len), 4, dtype=np.uint8)
-    np.asarray(classifier(warm)[0])
+    if use_packed:
+        wp = np.zeros((cfg.batch_size, cfg.max_read_len // 4), dtype=np.uint8)
+        wv = np.zeros((cfg.batch_size, cfg.max_read_len // 8), dtype=np.uint8)
+        np.asarray(classifier.call_packed(wp, wv)[0])
+    else:
+        warm = np.full((cfg.batch_size, cfg.max_read_len), 4, dtype=np.uint8)
+        np.asarray(classifier(warm)[0])
     timer.mark("Device warmup")
     warm_s = timer.elapsed()
 
@@ -228,13 +250,18 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
         nb = ns.next_batch()
         if nb is None:
             break
-        codes, slot, n = nb
-        result = classifier(codes)
+        if use_packed:
+            packed, vmask, slot, n = nb
+            host_codes = (packed, vmask)
+            result = classifier.call_packed(packed, vmask)
+        else:
+            host_codes, slot, n = nb
+            result = classifier(host_codes)
         try:
             result[0].copy_to_host_async()
         except AttributeError:
             pass
-        pending.append((codes, slot, n, result))
+        pending.append((host_codes, slot, n, result))
         n_reads += n
         if len(pending) > DEPTH:
             c_, s_, n_, r_ = pending.pop(0)

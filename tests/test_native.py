@@ -43,8 +43,49 @@ def test_native_encode_matches_python(example_dir):
         ref = encode_batch(recs1, recs2, 0, B, L)
         np.testing.assert_array_equal(codes[:n], ref.codes[:n])
         total += n
+        ns.release(slot)
     assert total == 5000
     ns.close()
+
+
+def test_native_packed_mode_roundtrip(example_dir):
+    """Packed 2-bit output must unpack to the byte codes."""
+    from shark_tpu.pipeline import _unpack_row_np
+
+    B, L = 256, 256
+    ns1 = native.NativeStream(
+        str(example_dir / "sample_1.fq"), "", B, L, 0, packed=False
+    )
+    ns2 = native.NativeStream(
+        str(example_dir / "sample_1.fq"), "", B, L, 0, packed=True
+    )
+    for _ in range(3):
+        codes, s1, n1 = ns1.next_batch()
+        packed, vmask, s2, n2 = ns2.next_batch()
+        assert n1 == n2
+        for i in range(0, n1, 37):
+            np.testing.assert_array_equal(
+                _unpack_row_np(packed[i], vmask[i]), codes[i]
+            )
+        ns1.release(s1)
+        ns2.release(s2)
+    ns1.close()
+    ns2.close()
+
+
+def test_unpack_codes_device_matches_host(example_dir):
+    import jax.numpy as jnp
+
+    from shark_tpu.classify.step import unpack_codes
+    from shark_tpu.pipeline import _unpack_row_np
+
+    rng = np.random.default_rng(0)
+    B, L = 16, 64
+    packed = rng.integers(0, 256, size=(B, L // 4), dtype=np.uint8)
+    vmask = rng.integers(0, 256, size=(B, L // 8), dtype=np.uint8)
+    dev = np.asarray(unpack_codes(jnp.asarray(packed), jnp.asarray(vmask)))
+    for i in range(B):
+        np.testing.assert_array_equal(dev[i], _unpack_row_np(packed[i], vmask[i]))
 
 
 def test_native_quality_masking(tmp_path):
