@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serialize the built index to this .npz path")
     p.add_argument("--load-index", default="",
                    help="load a prebuilt index instead of building from FASTA")
+    p.add_argument("--ssv", default="", dest="ssv_path",
+                   help="write associations to this file instead of stdout")
+    p.add_argument("--no-native", action="store_true",
+                   help="disable the native C++ host I/O engine")
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler trace to this directory")
     return p
 
 
@@ -86,6 +92,9 @@ def config_from_args(args: argparse.Namespace) -> SharkConfig:
         devices=args.devices,
         save_index=args.save_index,
         load_index=args.load_index,
+        ssv_path=args.ssv_path,
+        use_native=not args.no_native,
+        profile_dir=args.profile_dir,
     )
 
 

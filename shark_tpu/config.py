@@ -40,6 +40,7 @@ class SharkConfig:
     load_index: str = ""  # optional path to load a prebuilt index
     ssv_path: str = ""  # write ssv here instead of stdout (native path)
     use_native: bool = True  # use the C++ host I/O engine when available
+    profile_dir: str = ""  # write a jax.profiler trace here
 
     @property
     def paired(self) -> bool:

@@ -243,10 +243,33 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     timer.mark("Device warmup")
     warm_s = timer.elapsed()
 
+    # The drain (fetch verdicts -> winner pairs -> native emit) runs on its
+    # own thread so the device never waits for host post-processing; the
+    # bounded queue caps device-side in-flight batches.
+    import queue as queue_mod
+    import threading
+
+    DEPTH = 4
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=DEPTH)
+    drain_err: List[BaseException] = []
+
+    def drainer():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            c_, s_, n_, r_ = item
+            try:
+                ri, gi = _winner_pairs(cfg, index, r_, n_, c_, cfg.max_winners)
+                ns.emit(s_, ri, gi)
+            except BaseException as e:  # noqa: BLE001 - reraised on main
+                drain_err.append(e)
+                return
+
+    th = threading.Thread(target=drainer, daemon=True)
+    th.start()
     n_reads = 0
-    pending = []
-    DEPTH = 3
-    while True:
+    while not drain_err:
         nb = ns.next_batch()
         if nb is None:
             break
@@ -261,15 +284,12 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
             result[0].copy_to_host_async()
         except AttributeError:
             pass
-        pending.append((host_codes, slot, n, result))
         n_reads += n
-        if len(pending) > DEPTH:
-            c_, s_, n_, r_ = pending.pop(0)
-            ri, gi = _winner_pairs(cfg, index, r_, n_, c_, cfg.max_winners)
-            ns.emit(s_, ri, gi)
-    for c_, s_, n_, r_ in pending:
-        ri, gi = _winner_pairs(cfg, index, r_, n_, c_, cfg.max_winners)
-        ns.emit(s_, ri, gi)
+        q.put((host_codes, slot, n, result))
+    q.put(None)
+    th.join()
+    if drain_err:
+        raise drain_err[0]
 
     timer.mark("Sample completed")
     timer.rate("throughput", n_reads, "reads")
@@ -306,16 +326,46 @@ def load_or_build_index(cfg: SharkConfig, timer: PhaseTimer) -> SharkIndex:
     return index
 
 
+def _smoke_check_inputs(cfg: SharkConfig) -> None:
+    """Open/close every input up front so missing files fail before any
+    expensive work (the reference's pre-flight block, main.cpp:86-106)."""
+    paths = [] if cfg.load_index else [cfg.fasta_path]
+    if cfg.load_index:
+        paths.append(cfg.load_index)
+    paths.append(cfg.sample1_path)
+    if cfg.sample2_path:
+        paths.append(cfg.sample2_path)
+    for p in paths:
+        with open(p, "rb"):
+            pass
+
+
 def run_pipeline(cfg: SharkConfig, ssv_stream=None) -> dict:
     """Run the full reference-equivalent pipeline. Returns run stats."""
     cfg.validate()
     cfg.finalize_outputs()
+    _smoke_check_inputs(cfg)
     timer = PhaseTimer()
 
     if cfg.backend:
         import jax
 
         jax.config.update("jax_platforms", cfg.backend)
+
+    profile_ctx = None
+    if cfg.profile_dir:
+        import jax
+
+        profile_ctx = jax.profiler.trace(cfg.profile_dir)
+        profile_ctx.__enter__()
+    try:
+        return _run_pipeline_inner(cfg, ssv_stream, timer)
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
+
+def _run_pipeline_inner(cfg: SharkConfig, ssv_stream, timer: PhaseTimer) -> dict:
 
     if cfg.verbose:
         print(f"Reference texts: {cfg.fasta_path}", file=sys.stderr)
