@@ -121,27 +121,40 @@ PACK_GENE_BITS = 16            # winner gene id (uint16 capacity)
 PACK_NW_SHIFT = 16
 PACK_NW_BITS = 5               # n_winners, saturating at 31
 PACK_EMIT_SHIFT = 21           # cov >= c*len flag
+PACK_OVF_SHIFT = 22            # device result incomplete; host must redo
 
 
 class DeviceIndex(NamedTuple):
     """Gather-optimized device layout of a SharkIndex.
 
-    A probe costs exactly TWO random gathers (the dominant device cost —
+    A probe costs at most TWO random gathers (the dominant device cost —
     the compute around them is effectively free on the VPU):
-      bf_rank[w]  : (bloom word, exclusive rank) interleaved, one 8-byte row
+      bf_rank[w]  : (bloom word, exclusive rank, aux) in one 16-byte row
       gene_mat[r] : (degree, gene_0, ..., gene_{D-1}) one 2(D+1)-byte row
     versus the reference's bit-vector + rank + select + flattened-set walk
     (bloomfilter.h:78-102), which costs 6+ dependent memory touches.
+
+    The `aux` word embeds the single gene id when the Bloom word has
+    exactly one set bit whose k-mer maps to exactly one gene — at
+    realistic fill rates (<1% of words occupied) that covers nearly every
+    hit of a unique k-mer, so the fast-path classify kernel resolves it
+    from the FIRST gather alone and the gene_mat gather runs only for a
+    compacted handful of shared/colliding k-mers per read.
     """
 
-    bf_rank: jnp.ndarray  # uint32[n_words, 2]
+    bf_rank: jnp.ndarray  # uint32[n_words, 4]: word, rank, aux, 0
     gene_mat: jnp.ndarray  # uint16[max(n_set,1), D+1]
+
+
+AUX_FAST_BIT = 1 << 16  # aux = gene_id | AUX_FAST_BIT when single-bit/deg-1
 
 
 def build_device_index(index: SharkIndex) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side construction of the DeviceIndex arrays (numpy)."""
+    from shark_tpu.index.build import popcount_u32
+
     n_words = index.bf_words.size
-    bf_rank = np.empty((n_words, 2), dtype=np.uint32)
+    bf_rank = np.zeros((n_words, 4), dtype=np.uint32)
     bf_rank[:, 0] = index.bf_words
     bf_rank[:, 1] = index.word_rank
     n_set = index.n_set_bits
@@ -155,6 +168,15 @@ def build_device_index(index: SharkIndex) -> Tuple[np.ndarray, np.ndarray]:
             index.offsets[:-1].astype(np.int64), deg
         )
         gene_mat[rows, cols + 1] = index.gene_ids
+        # aux fast path: words with exactly one set bit whose set has deg 1
+        pc = popcount_u32(index.bf_words)
+        one_bit = np.flatnonzero(pc == 1)
+        r = index.word_rank[one_bit].astype(np.int64)
+        fast = deg[r] == 1
+        fw = one_bit[fast]
+        bf_rank[fw, 2] = index.gene_ids[
+            index.offsets[:-1].astype(np.int64)[r[fast]]
+        ].astype(np.uint32) | np.uint32(AUX_FAST_BIT)
     return bf_rank, gene_mat
 
 
@@ -215,8 +237,34 @@ def finish_kernel(
         key = (g << pos_bits) | pos_i32.astype(jnp.uint32)
         keys.append(jnp.where(hit & (d < deg), key, sentinel))
     key_mat = jnp.concatenate(keys, axis=1)  # [B, L*D]
+    return finish_from_keys(
+        key_mat,
+        length,
+        thresh,
+        jnp.zeros((B,), dtype=jnp.bool_),
+        meta=meta,
+        max_winners=max_winners,
+        L=L,
+    )
 
-    # 5. sort-based segmented coverage reduction
+
+def finish_from_keys(
+    key_mat: jnp.ndarray,  # uint32[B, K] (gene << pos_bits | pos), sentinel-padded
+    length: jnp.ndarray,  # int32[B]
+    thresh: jnp.ndarray,  # int32[L+1]
+    row_ovf: jnp.ndarray,  # bool[B]: device view incomplete for this read
+    *,
+    meta: StaticMeta,
+    max_winners: int,
+    L: int,
+):
+    B = key_mat.shape[0]
+    k = meta.k
+    W = max_winners
+    G = meta.n_genes
+    pos_bits = meta.pos_bits
+
+    # sort-based segmented coverage reduction
     skey = jnp.sort(key_mat, axis=1)
     gene = (skey >> pos_bits).astype(jnp.int32)
     pos = (skey & ((1 << pos_bits) - 1)).astype(jnp.int32)
@@ -263,6 +311,7 @@ def finish_kernel(
         jnp.maximum(winners[:, 0], 0)
         | (nw_sat << PACK_NW_SHIFT)
         | (emit.astype(jnp.int32) << PACK_EMIT_SHIFT)
+        | (row_ovf.astype(jnp.int32) << PACK_OVF_SHIFT)
     )
     return packed, winners, best_cov, length
 
@@ -281,6 +330,91 @@ def classify_kernel(
     gm, hit = probe_local(dix, word_idx, bit_off, win_valid)
     return finish_kernel(
         gm, hit, codes, thresh, meta=meta, max_winners=max_winners
+    )
+
+
+def classify_kernel_fast(
+    dix: DeviceIndex,
+    thresh: jnp.ndarray,
+    codes: jnp.ndarray,  # uint8[B, L]
+    *,
+    meta: StaticMeta,
+    max_winners: int,
+    cap2: int = 32,
+):
+    """Single-gather classify: unique-k-mer hits resolve from the bf_rank
+    row's aux word; only shared/colliding k-mers (compacted to <= cap2 per
+    read) pay the gene_mat gather. Reads with more than cap2 such k-mers
+    get the PACK_OVF flag and are recomputed exactly on the host (rare by
+    construction — the Classifier picks this kernel only when the index's
+    multi-gene k-mer fraction is small)."""
+    B, L = codes.shape
+    D = meta.degree
+    G = meta.n_genes
+    pos_bits = meta.pos_bits
+
+    length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
+    word_idx, bit_off, win_valid = hash_positions(codes, meta)
+
+    wr = jnp.take(dix.bf_rank, word_idx, axis=0)  # [B, L, 4], one 16B row
+    w = wr[..., 0]
+    hit = (((w >> bit_off) & 1) == 1) & win_valid
+    low_mask = (jnp.uint32(1) << bit_off) - 1
+    rank = wr[..., 1] + jax.lax.population_count(w & low_mask)
+    r = jnp.where(hit, rank.astype(jnp.int32), 0)
+    aux = wr[..., 2]
+    fast = hit & ((aux & AUX_FAST_BIT) != 0)
+    needy = hit & ~fast
+
+    pos_i32 = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    sentinel = jnp.uint32(G << pos_bits)
+
+    # compact needy probes to the first cap2 per read
+    need_pos = jnp.where(needy, pos_i32, L)
+    sneed = jnp.sort(need_pos, axis=1)[:, :cap2]  # [B, cap2]
+    svalid = sneed < L
+    row_ovf = jnp.sum(needy.astype(jnp.int32), axis=1) > cap2
+    sneed_c = jnp.minimum(sneed, L - 1)
+    r2 = jnp.take_along_axis(r, sneed_c, axis=1)  # [B, cap2]
+    gm2 = jnp.take(dix.gene_mat, jnp.where(svalid, r2, 0), axis=0)
+    deg2 = jnp.where(svalid, gm2[..., 0].astype(jnp.int32), 0)
+
+    fast_key = jnp.where(
+        fast,
+        ((aux & jnp.uint32(0xFFFF)) << pos_bits) | pos_i32.astype(jnp.uint32),
+        sentinel,
+    )
+    keys = [fast_key]
+    for d in range(D):
+        g = gm2[..., 1 + d].astype(jnp.uint32)
+        key = (g << pos_bits) | sneed_c.astype(jnp.uint32)
+        keys.append(jnp.where(svalid & (d < deg2), key, sentinel))
+    key_mat = jnp.concatenate(keys, axis=1)  # [B, L + cap2*D]
+
+    return finish_from_keys(
+        key_mat,
+        length,
+        thresh,
+        row_ovf,
+        meta=meta,
+        max_winners=max_winners,
+        L=L,
+    )
+
+
+def classify_kernel_fast_packed(
+    dix: DeviceIndex,
+    thresh: jnp.ndarray,
+    packed: jnp.ndarray,
+    vmask: jnp.ndarray,
+    *,
+    meta: StaticMeta,
+    max_winners: int,
+    cap2: int = 32,
+):
+    codes = unpack_codes(packed, vmask)
+    return classify_kernel_fast(
+        dix, thresh, codes, meta=meta, max_winners=max_winners, cap2=cap2
     )
 
 
@@ -316,19 +450,31 @@ class Classifier:
     """Holds the device-resident index and a cache of jitted kernels keyed by
     padded batch geometry."""
 
+    # use the single-gather kernel when at most this fraction of set bits
+    # needs the gene_mat gather (shared k-mers / multi-bit words)
+    FAST_NEEDY_FRAC = 0.02
+
     def __init__(
         self,
         index: SharkIndex,
         max_winners: int = 16,
         c: float = 0.6,
         device=None,
+        fast: bool | None = None,
+        cap2: int = 32,
     ):
         self.index = index
         self.max_winners = max_winners
         self.c = c
+        self.cap2 = cap2
         dev = device or jax.devices()[0]
         self._dev = dev
         bf_rank, gene_mat = build_device_index(index)
+        if fast is None:
+            n_set = max(1, index.n_set_bits)
+            n_fast = int(np.count_nonzero(bf_rank[:, 2]))
+            fast = (1 - n_fast / n_set) <= self.FAST_NEEDY_FRAC
+        self.fast = bool(fast)
         self.dix = DeviceIndex(
             bf_rank=jax.device_put(bf_rank, dev),
             gene_mat=jax.device_put(gene_mat, dev),
@@ -341,12 +487,24 @@ class Classifier:
         fn = self._fns.get(key)
         if fn is None:
             meta = StaticMeta.for_index(self.index, L)
-            kern = classify_kernel_packed if packed else classify_kernel
-            fn = jax.jit(
-                functools.partial(
+            if self.fast:
+                kern = (
+                    classify_kernel_fast_packed
+                    if packed
+                    else classify_kernel_fast
+                )
+                part = functools.partial(
+                    kern,
+                    meta=meta,
+                    max_winners=self.max_winners,
+                    cap2=self.cap2,
+                )
+            else:
+                kern = classify_kernel_packed if packed else classify_kernel
+                part = functools.partial(
                     kern, meta=meta, max_winners=self.max_winners
                 )
-            )
+            fn = jax.jit(part)
             self._fns[key] = fn
             if L not in self._thresh:
                 self._thresh[L] = jax.device_put(

@@ -96,28 +96,29 @@ def _drain(
         PACK_EMIT_SHIFT,
         PACK_NW_BITS,
         PACK_NW_SHIFT,
+        PACK_OVF_SHIFT,
     )
 
     packed_dev, winners_dev, _best_cov_dev, _length_dev = result
     packed = np.asarray(packed_dev)[: batch.n]
     winner0 = packed & ((1 << PACK_NW_SHIFT) - 1)
     n_winners = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
+    dev_ovf = ((packed >> PACK_OVF_SHIFT) & 1).astype(bool)
     emit = ((packed >> PACK_EMIT_SHIFT) & 1).astype(bool) & (n_winners > 0)
     if cfg.single:
         emit &= n_winners == 1
     # The winner matrix only crosses the device->host link when a batch
     # actually contains a multi-winner read.
     winners = None
-    if np.any(emit & (n_winners > 1)):
+    if np.any(emit & (n_winners > 1) & ~dev_ovf):
         winners = np.asarray(winners_dev)
     names = index.gene_names
     rec2 = batch.recs2
-    for i in np.flatnonzero(emit):
+    for i in np.flatnonzero(emit | dev_ovf):
         nw = int(n_winners[i])
-        if nw == 1:
-            gene_list = [names[winner0[i]]]
-        elif nw > max_winners or nw == (1 << PACK_NW_BITS) - 1:
-            # ultra-rare: more tied winners than the device compaction width
+        if dev_ovf[i] or nw > max_winners or nw == (1 << PACK_NW_BITS) - 1:
+            # incomplete device verdict (compaction overflow) or more tied
+            # winners than the device width: recompute exactly on the host
             from shark_tpu.classify.oracle import classify_read, fuse_pair
 
             shim = _ShimIndex(index)
@@ -128,6 +129,8 @@ def _drain(
             )
             wins, _, _ = classify_read(shim, codes, cfg.c, cfg.single)
             gene_list = [names[g] for g in wins]
+        elif nw == 1:
+            gene_list = [names[winner0[i]]]
         else:
             gene_list = [names[g] for g in winners[i, :nw]]
         if gene_list:
@@ -153,22 +156,25 @@ def _winner_pairs(
         PACK_EMIT_SHIFT,
         PACK_NW_BITS,
         PACK_NW_SHIFT,
+        PACK_OVF_SHIFT,
     )
 
     packed_dev, winners_dev = result[0], result[1]
     packed = np.asarray(packed_dev)[:n]
     winner0 = packed & ((1 << PACK_NW_SHIFT) - 1)
     n_winners = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
+    dev_ovf = ((packed >> PACK_OVF_SHIFT) & 1).astype(bool)
     emit = ((packed >> PACK_EMIT_SHIFT) & 1).astype(bool) & (n_winners > 0)
     if cfg.single:
         emit &= n_winners == 1
-    rows = np.flatnonzero(emit)
+    # device-overflowed rows have an incomplete verdict: always recompute
+    rows = np.flatnonzero(emit | dev_ovf)
     if rows.size == 0:
         return rows.astype(np.int32), rows.astype(np.int32)
     nw = n_winners[rows]
     sat = (1 << PACK_NW_BITS) - 1
-    overflow = (nw > max_winners) | (nw == sat)
-    if not np.any(nw > 1):
+    overflow = (nw > max_winners) | (nw == sat) | dev_ovf[rows]
+    if not np.any(overflow) and not np.any(nw > 1):
         return rows.astype(np.int32), winner0[rows].astype(np.int32)
     winners = np.asarray(winners_dev)
     if not np.any(overflow):
