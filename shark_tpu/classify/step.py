@@ -134,29 +134,79 @@ class DeviceIndex(NamedTuple):
     versus the reference's bit-vector + rank + select + flattened-set walk
     (bloomfilter.h:78-102), which costs 6+ dependent memory touches.
 
-    The `aux` word embeds the single gene id when the Bloom word has
-    exactly one set bit whose k-mer maps to exactly one gene — at
-    realistic fill rates (<1% of words occupied) that covers nearly every
-    hit of a unique k-mer, so the fast-path classify kernel resolves it
-    from the FIRST gather alone and the gene_mat gather runs only for a
-    compacted handful of shared/colliding k-mers per read.
+    See FastDeviceIndex for the single-gather layout the Classifier
+    prefers on low-collision indexes.
     """
 
-    bf_rank: jnp.ndarray  # uint32[n_words, 4]: word, rank, aux, 0
+    bf_rank: jnp.ndarray  # uint32[n_words, 2]: word, rank
     gene_mat: jnp.ndarray  # uint16[max(n_set,1), D+1]
 
 
-AUX_FAST_BIT = 1 << 16  # aux = gene_id | AUX_FAST_BIT when single-bit/deg-1
+class FastDeviceIndex(NamedTuple):
+    """8-byte-row layout for the single-gather kernel.
+
+    rows[w] = (aux, rank): aux packs the word's state —
+      state 0: word empty (every probe of it misses)
+      state 1: single set bit, one gene  -> aux also has bitpos + gene id
+      state 2: single set bit, >1 genes  -> aux has bitpos; rank addresses
+               gene_mat directly
+      state 3: >=2 set bits              -> rare; the compacted second pass
+               fetches the word itself from `words` to resolve hit + rank
+    Halves probe-table memory vs the 16-byte aux layout and keeps the
+    hot path at one 8-byte random gather per window.
+    """
+
+    rows: jnp.ndarray  # uint32[n_words, 2]: aux, rank
+    words: jnp.ndarray  # uint32[n_words] (state-3 fallback only)
+    gene_mat: jnp.ndarray  # uint16[max(n_set,1), D+1]
 
 
-def build_device_index(index: SharkIndex) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side construction of the DeviceIndex arrays (numpy)."""
+FAST_GENE_MASK = 0xFFFF
+FAST_BITPOS_SHIFT = 16
+FAST_STATE_SHIFT = 21
+
+
+def build_fast_index(
+    index: SharkIndex,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Host-side FastDeviceIndex rows (+ the needy fraction for kernel
+    selection). gene_mat comes from build_device_index."""
     from shark_tpu.index.build import popcount_u32
 
-    n_words = index.bf_words.size
-    bf_rank = np.zeros((n_words, 4), dtype=np.uint32)
-    bf_rank[:, 0] = index.bf_words
-    bf_rank[:, 1] = index.word_rank
+    words = index.bf_words
+    n_words = words.size
+    pc = popcount_u32(words)
+    deg = np.diff(index.offsets).astype(np.int64)
+    aux = np.zeros(n_words, dtype=np.uint32)
+    one = np.flatnonzero(pc == 1)
+    multi = np.flatnonzero(pc >= 2)
+    if one.size:
+        bitpos = popcount_u32(words[one] - np.uint32(1)).astype(np.uint32)
+        r = index.word_rank[one].astype(np.int64)
+        d1 = deg[r] == 1
+        gene = np.zeros(one.size, dtype=np.uint32)
+        gene[d1] = index.gene_ids[
+            index.offsets[:-1].astype(np.int64)[r[d1]]
+        ].astype(np.uint32)
+        state = np.where(d1, np.uint32(1), np.uint32(2))
+        aux[one] = (
+            gene
+            | (bitpos << FAST_BITPOS_SHIFT)
+            | (state << FAST_STATE_SHIFT)
+        )
+    if multi.size:
+        aux[multi] = np.uint32(3) << FAST_STATE_SHIFT
+    rows = np.empty((n_words, 2), dtype=np.uint32)
+    rows[:, 0] = aux
+    rows[:, 1] = index.word_rank
+    n_set = max(1, index.n_set_bits)
+    n_fast = int(np.count_nonzero((aux >> FAST_STATE_SHIFT) == 1))
+    needy_frac = 1.0 - n_fast / n_set
+    return rows, words.copy(), needy_frac
+
+
+def build_gene_mat(index: SharkIndex) -> np.ndarray:
+    """(degree, gene_0..gene_{D-1}) row per set bit (numpy)."""
     n_set = index.n_set_bits
     deg = np.diff(index.offsets).astype(np.int64)
     D = 1 << int(np.ceil(np.log2(max(1, index.max_degree)))) if n_set else 1
@@ -168,16 +218,16 @@ def build_device_index(index: SharkIndex) -> Tuple[np.ndarray, np.ndarray]:
             index.offsets[:-1].astype(np.int64), deg
         )
         gene_mat[rows, cols + 1] = index.gene_ids
-        # aux fast path: words with exactly one set bit whose set has deg 1
-        pc = popcount_u32(index.bf_words)
-        one_bit = np.flatnonzero(pc == 1)
-        r = index.word_rank[one_bit].astype(np.int64)
-        fast = deg[r] == 1
-        fw = one_bit[fast]
-        bf_rank[fw, 2] = index.gene_ids[
-            index.offsets[:-1].astype(np.int64)[r[fast]]
-        ].astype(np.uint32) | np.uint32(AUX_FAST_BIT)
-    return bf_rank, gene_mat
+    return gene_mat
+
+
+def build_device_index(index: SharkIndex) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side construction of the classic DeviceIndex arrays (numpy)."""
+    n_words = index.bf_words.size
+    bf_rank = np.empty((n_words, 2), dtype=np.uint32)
+    bf_rank[:, 0] = index.bf_words
+    bf_rank[:, 1] = index.word_rank
+    return bf_rank, build_gene_mat(index)
 
 
 def hash_positions(codes: jnp.ndarray, meta: StaticMeta):
@@ -334,7 +384,7 @@ def classify_kernel(
 
 
 def classify_kernel_fast(
-    dix: DeviceIndex,
+    dix: FastDeviceIndex,
     thresh: jnp.ndarray,
     codes: jnp.ndarray,  # uint8[B, L]
     *,
@@ -342,12 +392,12 @@ def classify_kernel_fast(
     max_winners: int,
     cap2: int = 32,
 ):
-    """Single-gather classify: unique-k-mer hits resolve from the bf_rank
-    row's aux word; only shared/colliding k-mers (compacted to <= cap2 per
-    read) pay the gene_mat gather. Reads with more than cap2 such k-mers
-    get the PACK_OVF flag and are recomputed exactly on the host (rare by
-    construction — the Classifier picks this kernel only when the index's
-    multi-gene k-mer fraction is small)."""
+    """Single-gather classify: unique-k-mer hits resolve from the 8-byte
+    (aux, rank) row alone; only shared-gene or multi-bit-word probes
+    (compacted to <= cap2 per read) pay further gathers. Reads with more
+    than cap2 such probes get the PACK_OVF flag and are recomputed exactly
+    on the host (rare by construction — the Classifier picks this kernel
+    only when the index's needy fraction is small)."""
     B, L = codes.shape
     D = meta.degree
     G = meta.n_genes
@@ -356,15 +406,14 @@ def classify_kernel_fast(
     length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
     word_idx, bit_off, win_valid = hash_positions(codes, meta)
 
-    wr = jnp.take(dix.bf_rank, word_idx, axis=0)  # [B, L, 4], one 16B row
-    w = wr[..., 0]
-    hit = (((w >> bit_off) & 1) == 1) & win_valid
-    low_mask = (jnp.uint32(1) << bit_off) - 1
-    rank = wr[..., 1] + jax.lax.population_count(w & low_mask)
-    r = jnp.where(hit, rank.astype(jnp.int32), 0)
-    aux = wr[..., 2]
-    fast = hit & ((aux & AUX_FAST_BIT) != 0)
-    needy = hit & ~fast
+    row = jnp.take(dix.rows, word_idx, axis=0)  # [B, L, 2], one 8B row
+    aux = row[..., 0]
+    rank0 = row[..., 1]
+    state = (aux >> FAST_STATE_SHIFT) & 3
+    bitpos = (aux >> FAST_BITPOS_SHIFT) & 31
+    bitmatch = (bit_off == bitpos) & win_valid
+    fast = (state == 1) & bitmatch
+    needy = (((state == 2) & bitmatch) | ((state == 3) & win_valid))
 
     pos_i32 = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
     sentinel = jnp.uint32(G << pos_bits)
@@ -375,20 +424,36 @@ def classify_kernel_fast(
     svalid = sneed < L
     row_ovf = jnp.sum(needy.astype(jnp.int32), axis=1) > cap2
     sneed_c = jnp.minimum(sneed, L - 1)
-    r2 = jnp.take_along_axis(r, sneed_c, axis=1)  # [B, cap2]
-    gm2 = jnp.take(dix.gene_mat, jnp.where(svalid, r2, 0), axis=0)
-    deg2 = jnp.where(svalid, gm2[..., 0].astype(jnp.int32), 0)
+
+    # per-slot resolution: state 2 -> rank row is the gene row; state 3 ->
+    # fetch the word to compute hit + bit rank
+    word2 = jnp.take_along_axis(word_idx, sneed_c, axis=1)  # [B, cap2]
+    state2 = jnp.take_along_axis(state, sneed_c, axis=1)
+    rank2 = jnp.take_along_axis(rank0, sneed_c, axis=1)
+    boff2 = jnp.take_along_axis(bit_off, sneed_c, axis=1)
+    w2 = jnp.take(dix.words, jnp.where(svalid, word2, 0), axis=0)
+    multi = state2 == 3
+    hit2 = svalid & jnp.where(multi, ((w2 >> boff2) & 1) == 1, True)
+    low_mask2 = (jnp.uint32(1) << boff2) - 1
+    r2 = jnp.where(
+        multi,
+        rank2 + jax.lax.population_count(w2 & low_mask2),
+        rank2,
+    ).astype(jnp.int32)
+    gm2 = jnp.take(dix.gene_mat, jnp.where(hit2, r2, 0), axis=0)
+    deg2 = jnp.where(hit2, gm2[..., 0].astype(jnp.int32), 0)
 
     fast_key = jnp.where(
         fast,
-        ((aux & jnp.uint32(0xFFFF)) << pos_bits) | pos_i32.astype(jnp.uint32),
+        ((aux & jnp.uint32(FAST_GENE_MASK)) << pos_bits)
+        | pos_i32.astype(jnp.uint32),
         sentinel,
     )
     keys = [fast_key]
     for d in range(D):
         g = gm2[..., 1 + d].astype(jnp.uint32)
         key = (g << pos_bits) | sneed_c.astype(jnp.uint32)
-        keys.append(jnp.where(svalid & (d < deg2), key, sentinel))
+        keys.append(jnp.where(hit2 & (d < deg2), key, sentinel))
     key_mat = jnp.concatenate(keys, axis=1)  # [B, L + cap2*D]
 
     return finish_from_keys(
@@ -403,7 +468,7 @@ def classify_kernel_fast(
 
 
 def classify_kernel_fast_packed(
-    dix: DeviceIndex,
+    dix: FastDeviceIndex,
     thresh: jnp.ndarray,
     packed: jnp.ndarray,
     vmask: jnp.ndarray,
@@ -469,16 +534,24 @@ class Classifier:
         self.cap2 = cap2
         dev = device or jax.devices()[0]
         self._dev = dev
-        bf_rank, gene_mat = build_device_index(index)
-        if fast is None:
-            n_set = max(1, index.n_set_bits)
-            n_fast = int(np.count_nonzero(bf_rank[:, 2]))
-            fast = (1 - n_fast / n_set) <= self.FAST_NEEDY_FRAC
+        gene_mat = build_gene_mat(index)
+        if fast is None or fast:
+            rows, words, needy_frac = build_fast_index(index)
+            if fast is None:
+                fast = needy_frac <= self.FAST_NEEDY_FRAC
         self.fast = bool(fast)
-        self.dix = DeviceIndex(
-            bf_rank=jax.device_put(bf_rank, dev),
-            gene_mat=jax.device_put(gene_mat, dev),
-        )
+        if self.fast:
+            self.dix = FastDeviceIndex(
+                rows=jax.device_put(rows, dev),
+                words=jax.device_put(words, dev),
+                gene_mat=jax.device_put(gene_mat, dev),
+            )
+        else:
+            bf_rank, _ = build_device_index(index)
+            self.dix = DeviceIndex(
+                bf_rank=jax.device_put(bf_rank, dev),
+                gene_mat=jax.device_put(gene_mat, dev),
+            )
         self._fns = {}
         self._thresh = {}
 

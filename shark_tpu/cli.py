@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax platform override (e.g. cpu, tpu)")
     p.add_argument("--devices", type=int, default=1,
                    help="data-parallel device count (default: 1)")
+    p.add_argument("--sharded-bf", action="store_true",
+                   help="shard the Bloom filter across the device mesh "
+                        "(for indexes larger than one chip's HBM)")
     p.add_argument("--save-index", default="",
                    help="serialize the built index to this .npz path")
     p.add_argument("--load-index", default="",
@@ -90,6 +93,7 @@ def config_from_args(args: argparse.Namespace) -> SharkConfig:
         max_read_len=args.max_read_len,
         backend=args.backend,
         devices=args.devices,
+        sharded_bf=args.sharded_bf,
         save_index=args.save_index,
         load_index=args.load_index,
         ssv_path=args.ssv_path,

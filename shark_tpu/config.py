@@ -36,6 +36,7 @@ class SharkConfig:
     max_winners: int = 16  # per-read winner-compaction width on device
     backend: str = ""  # "" = default jax backend; "cpu" forces host
     devices: int = 1  # data-parallel device count (1 = single device)
+    sharded_bf: bool = False  # shard the Bloom filter across the mesh
     save_index: str = ""  # optional path to serialize the built index
     load_index: str = ""  # optional path to load a prebuilt index
     ssv_path: str = ""  # write ssv here instead of stdout (native path)

@@ -99,7 +99,14 @@ def _drain(
         PACK_OVF_SHIFT,
     )
 
-    packed_dev, winners_dev, _best_cov_dev, _length_dev = result
+    if len(result) > 4:  # sharded-BF routing overflow counter
+        ovf = int(np.asarray(result[4]).sum())
+        if ovf:
+            raise RuntimeError(
+                f"sharded-BF probe bucket overflow ({ovf} probes dropped); "
+                "increase the routing slack"
+            )
+    packed_dev, winners_dev = result[0], result[1]
     packed = np.asarray(packed_dev)[: batch.n]
     winner0 = packed & ((1 << PACK_NW_SHIFT) - 1)
     n_winners = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
@@ -159,6 +166,13 @@ def _winner_pairs(
         PACK_OVF_SHIFT,
     )
 
+    if len(result) > 4:  # sharded-BF routing overflow counter
+        ovf = int(np.asarray(result[4]).sum())
+        if ovf:
+            raise RuntimeError(
+                f"sharded-BF probe bucket overflow ({ovf} probes dropped); "
+                "increase the routing slack"
+            )
     packed_dev, winners_dev = result[0], result[1]
     packed = np.asarray(packed_dev)[:n]
     winner0 = packed & ((1 << PACK_NW_SHIFT) - 1)
@@ -390,7 +404,13 @@ def _run_pipeline_inner(cfg: SharkConfig, ssv_stream, timer: PhaseTimer) -> dict
     index = load_or_build_index(cfg, timer)
     index_s = timer.elapsed()
 
-    if cfg.devices > 1:
+    if cfg.sharded_bf:
+        from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
+
+        classifier = ShardedBFClassifier(
+            index, max_winners=cfg.max_winners, c=cfg.c, n_devices=cfg.devices
+        )
+    elif cfg.devices > 1:
         from shark_tpu.parallel.data_parallel import DataParallelClassifier
 
         classifier = DataParallelClassifier(

@@ -1,0 +1,83 @@
+"""CLI surface parity with the reference (argument_parser.hpp:29-174)."""
+
+import pytest
+
+from shark_tpu.cli import build_parser, config_from_args
+from shark_tpu.config import SharkConfig
+
+
+def _cfg(argv):
+    return config_from_args(build_parser().parse_args(argv))
+
+
+BASE = ["-r", "ref.fa", "-1", "s1.fq"]
+
+
+def test_defaults_match_reference():
+    cfg = _cfg(BASE)
+    assert cfg.k == 17
+    assert cfg.c == 0.6
+    assert cfg.bf_gb == 1
+    assert cfg.bf_bits == 1 << 33  # 1 "GB" unit = 2**33 bits
+    assert cfg.min_quality == 0
+    assert cfg.single is False
+    assert cfg.threads == 1
+    assert not cfg.paired
+
+
+def test_output_defaults():
+    cfg = _cfg(BASE + ["-2", "s2.fq"])
+    cfg.finalize_outputs()
+    assert cfg.out1_path == "sharked_sample.1"
+    assert cfg.out2_path == "sharked_sample.2"
+    assert cfg.paired
+
+    cfg1 = _cfg(BASE)
+    cfg1.finalize_outputs()
+    assert cfg1.out1_path == "sharked_sample.1"
+    assert cfg1.out2_path == ""
+
+
+@pytest.mark.parametrize(
+    "args,msg",
+    [
+        (dict(k=0), "k"),
+        (dict(k=32), "k"),
+        (dict(c=1.5), "c"),
+        (dict(c=-0.1), "c"),
+        (dict(min_quality=-1), "q"),
+        (dict(threads=0), "thread"),
+        (dict(bf_gb=0), "bf"),
+    ],
+)
+def test_validation_rejects(args, msg):
+    cfg = SharkConfig(fasta_path="r", sample1_path="s", **args)
+    with pytest.raises(ValueError, match=msg):
+        cfg.validate()
+
+
+def test_short_and_long_flags_agree():
+    a = _cfg(BASE + ["-k", "21", "-c", "0.8", "-b", "2", "-q", "20", "-s", "-t", "4"])
+    b = _cfg([
+        "--reference", "ref.fa", "--sample1", "s1.fq",
+        "--kmer-size", "21", "--confidence", "0.8", "--bf-size", "2",
+        "--min-base-quality", "20", "--single", "--threads", "4",
+    ])
+    assert a == b
+    assert a.bf_bits == 2 << 33
+
+
+def test_missing_required_exits(capsys):
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["-r", "only_ref.fa"])
+
+
+def test_missing_input_file_fails_fast(tmp_path):
+    from shark_tpu.pipeline import run_pipeline
+
+    cfg = SharkConfig(
+        fasta_path=str(tmp_path / "missing.fa"),
+        sample1_path=str(tmp_path / "missing.fq"),
+    )
+    with pytest.raises(FileNotFoundError):
+        run_pipeline(cfg)
