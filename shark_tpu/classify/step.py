@@ -231,11 +231,19 @@ def build_device_index(index: SharkIndex) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def hash_positions(codes: jnp.ndarray, meta: StaticMeta):
-    """codes [B, L] -> (word_idx i32[B,L], bit_off u32[B,L], win_valid bool).
+    """codes [B, L] -> (word_idx i32[B,Ls], bit_off u32[B,Ls], win_valid
+    bool[B,Ls]) with Ls = L-k+1: column j addresses the window ENDING at
+    position j+k-1 (windows ending before k-1 cannot exist, so they are
+    sliced away rather than masked — the probe gathers are the dominant
+    device cost and this trims them ~k/L).
 
     The per-window canonical-kmer -> XXH64 -> mod -> (word, bit) address
     computation, shared by the replicated and sharded probe paths."""
-    canon, win_valid = canonical_kmers_jax(codes, meta.k)
+    k = meta.k
+    canon, win_valid = canonical_kmers_jax(codes, k)
+    s = min(k - 1, codes.shape[1] - 1)
+    canon = (canon[0][:, s:], canon[1][:, s:])
+    win_valid = win_valid[:, s:]
     h = xxh64_u64(canon)
     idx_hi, idx_lo = _mod_size(h, meta.size_bits)
     word_idx = ((idx_hi << 27) | (idx_lo >> 5)).astype(jnp.int32)
@@ -258,19 +266,20 @@ def probe_local(dix: DeviceIndex, word_idx, bit_off, win_valid):
 
 
 def finish_kernel(
-    gm: jnp.ndarray,  # uint16[B, L, D+1]
-    hit: jnp.ndarray,  # bool[B, L]
+    gm: jnp.ndarray,  # uint16[B, Ls, D+1]
+    hit: jnp.ndarray,  # bool[B, Ls]
     codes: jnp.ndarray,  # uint8[B, L]
     thresh: jnp.ndarray,  # int32[L+1]
     *,
     meta: StaticMeta,
     max_winners: int,
 ):
-    """Coverage scoring + winner selection from per-probe gene rows."""
+    """Coverage scoring + winner selection from per-probe gene rows.
+    Column j of gm/hit is the window ending at position j + (L - Ls)."""
     B, L = codes.shape
-    k = meta.k
+    Ls = hit.shape[1]
+    off = L - Ls
     D = meta.degree
-    W = max_winners
     G = meta.n_genes
     pos_bits = meta.pos_bits
     assert L <= (1 << pos_bits)
@@ -279,14 +288,16 @@ def finish_kernel(
     length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
     deg = jnp.where(hit, gm[..., 0].astype(jnp.int32), 0)
 
-    pos_i32 = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    pos_i32 = jnp.broadcast_to(
+        (jnp.arange(Ls, dtype=jnp.int32) + off)[None, :], (B, Ls)
+    )
     sentinel = jnp.uint32(G << pos_bits)
     keys = []
     for d in range(D):
         g = gm[..., 1 + d].astype(jnp.uint32)
         key = (g << pos_bits) | pos_i32.astype(jnp.uint32)
         keys.append(jnp.where(hit & (d < deg), key, sentinel))
-    key_mat = jnp.concatenate(keys, axis=1)  # [B, L*D]
+    key_mat = jnp.concatenate(keys, axis=1)  # [B, Ls*D]
     return finish_from_keys(
         key_mat,
         length,
@@ -405,8 +416,10 @@ def classify_kernel_fast(
 
     length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
     word_idx, bit_off, win_valid = hash_positions(codes, meta)
+    Ls = word_idx.shape[1]
+    off = L - Ls
 
-    row = jnp.take(dix.rows, word_idx, axis=0)  # [B, L, 2], one 8B row
+    row = jnp.take(dix.rows, word_idx, axis=0)  # [B, Ls, 2], one 8B row
     aux = row[..., 0]
     rank0 = row[..., 1]
     state = (aux >> FAST_STATE_SHIFT) & 3
@@ -415,7 +428,9 @@ def classify_kernel_fast(
     fast = (state == 1) & bitmatch
     needy = (((state == 2) & bitmatch) | ((state == 3) & win_valid))
 
-    pos_i32 = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    pos_i32 = jnp.broadcast_to(
+        (jnp.arange(Ls, dtype=jnp.int32) + off)[None, :], (B, Ls)
+    )
     sentinel = jnp.uint32(G << pos_bits)
 
     # compact needy probes to the first cap2 per read
@@ -424,13 +439,14 @@ def classify_kernel_fast(
     svalid = sneed < L
     row_ovf = jnp.sum(needy.astype(jnp.int32), axis=1) > cap2
     sneed_c = jnp.minimum(sneed, L - 1)
+    scol = jnp.maximum(sneed_c - off, 0)  # column index into [B, Ls] arrays
 
     # per-slot resolution: state 2 -> rank row is the gene row; state 3 ->
     # fetch the word to compute hit + bit rank
-    word2 = jnp.take_along_axis(word_idx, sneed_c, axis=1)  # [B, cap2]
-    state2 = jnp.take_along_axis(state, sneed_c, axis=1)
-    rank2 = jnp.take_along_axis(rank0, sneed_c, axis=1)
-    boff2 = jnp.take_along_axis(bit_off, sneed_c, axis=1)
+    word2 = jnp.take_along_axis(word_idx, scol, axis=1)  # [B, cap2]
+    state2 = jnp.take_along_axis(state, scol, axis=1)
+    rank2 = jnp.take_along_axis(rank0, scol, axis=1)
+    boff2 = jnp.take_along_axis(bit_off, scol, axis=1)
     w2 = jnp.take(dix.words, jnp.where(svalid, word2, 0), axis=0)
     multi = state2 == 3
     hit2 = svalid & jnp.where(multi, ((w2 >> boff2) & 1) == 1, True)
@@ -515,9 +531,14 @@ class Classifier:
     """Holds the device-resident index and a cache of jitted kernels keyed by
     padded batch geometry."""
 
-    # use the single-gather kernel when at most this fraction of set bits
-    # needs the gene_mat gather (shared k-mers / multi-bit words)
-    FAST_NEEDY_FRAC = 0.02
+    # Measured on v5e (bench/profile_kernel.py): the classic two-gather
+    # kernel beats the single-gather "fast" kernel in BOTH miss-heavy and
+    # hit-heavy regimes — the expensive gather is the GiB-scale bf_rank
+    # table (identical in both), the gene_mat table is small enough to
+    # cache, and the fast path's compaction sort + index shuffles cost
+    # more than the gather they avoid. The fast kernel is therefore
+    # opt-in (fast=True) pending a hardware generation where it wins.
+    FAST_NEEDY_FRAC = -1.0  # auto never selects fast
 
     def __init__(
         self,
@@ -535,10 +556,14 @@ class Classifier:
         dev = device or jax.devices()[0]
         self._dev = dev
         gene_mat = build_gene_mat(index)
-        if fast is None or fast:
-            rows, words, needy_frac = build_fast_index(index)
-            if fast is None:
+        if fast is None:
+            if self.FAST_NEEDY_FRAC < 0:
+                fast = False
+            else:
+                _, _, needy_frac = build_fast_index(index)
                 fast = needy_frac <= self.FAST_NEEDY_FRAC
+        if fast:
+            rows, words, _ = build_fast_index(index)
         self.fast = bool(fast)
         if self.fast:
             self.dix = FastDeviceIndex(

@@ -209,8 +209,8 @@ class ShardedBFClassifier:
         self._fns = {}
         self._thresh = {}
 
-    def _fn(self, B: int, L: int):
-        key = (B, L)
+    def _fn(self, B: int, L: int, packed: bool = False):
+        key = (B, L, packed)
         fn = self._fns.get(key)
         if fn is not None:
             return fn
@@ -221,12 +221,18 @@ class ShardedBFClassifier:
         cap = max(cap, 8)
         max_winners = self.max_winners
 
-        def step(dix_shard, thresh, codes):
+        def step(dix_shard, thresh, *data):
             # shapes inside shard_map: codes [b, L]; dix_shard has the
             # leading shard axis reduced to 1 -> squeeze it
             dix_local = DeviceIndex(
                 bf_rank=dix_shard.bf_rank[0], gene_mat=dix_shard.gene_mat[0]
             )
+            if packed:
+                from shark_tpu.classify.step import unpack_codes
+
+                codes = unpack_codes(*data)
+            else:
+                (codes,) = data
             word_idx, bit_off, win_valid = hash_positions(codes, meta)
             gm, hit, ovf = _route_probe_return(
                 dix_local,
@@ -245,6 +251,7 @@ class ShardedBFClassifier:
             return out + (ovf[None],)
 
         mesh = self.mesh
+        data_specs = (P(self.axis), P(self.axis)) if packed else (P(self.axis),)
         fn = jax.jit(
             jax.shard_map(
                 step,
@@ -252,8 +259,8 @@ class ShardedBFClassifier:
                 in_specs=(
                     DeviceIndex(bf_rank=P(self.axis), gene_mat=P(self.axis)),
                     P(),
-                    P(self.axis),
-                ),
+                )
+                + data_specs,
                 out_specs=(
                     P(self.axis),
                     P(self.axis),
@@ -277,3 +284,11 @@ class ShardedBFClassifier:
             raise ValueError(f"batch {B} not divisible by {self.n} devices")
         fn = self._fn(B, L)
         return fn(self.dix, self._thresh[L], codes)
+
+    def call_packed(self, packed: np.ndarray, vmask: np.ndarray):
+        B = packed.shape[0]
+        L = packed.shape[1] * 4
+        if B % self.n != 0:
+            raise ValueError(f"batch {B} not divisible by {self.n} devices")
+        fn = self._fn(B, L, packed=True)
+        return fn(self.dix, self._thresh[L], packed, vmask)

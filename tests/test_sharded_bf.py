@@ -72,6 +72,29 @@ def test_sharded_matches_single(workload):
         np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+def test_sharded_packed_matches_bytes(workload):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
+
+    index, codes = workload
+    sharded = ShardedBFClassifier(index, max_winners=8, c=0.6, n_devices=8)
+    B, L = codes.shape
+    packed = np.zeros((B, L // 4), dtype=np.uint8)
+    vmask = np.zeros((B, L // 8), dtype=np.uint8)
+    for i in range(L):
+        c = codes[:, i]
+        v = c < 4
+        packed[:, i // 4] |= np.where(v, c, 0).astype(np.uint8) << (2 * (i % 4))
+        vmask[:, i // 8] |= v.astype(np.uint8) << (i % 8)
+    ref = [np.asarray(x) for x in sharded(codes)]
+    got = [np.asarray(x) for x in sharded.call_packed(packed, vmask)]
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_sharded_overflow_detection(workload):
     """With absurdly small slack the overflow counter must fire (not crash)."""
     import jax
