@@ -8,7 +8,7 @@ k in [1, 31]; c in [0, 1]; bf size given in "GB" units where 1 unit equals
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # One "-b" unit = 2**33 bits (1 GiB of bit-vector), reference
 # argument_parser.hpp:133.

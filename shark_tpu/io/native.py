@@ -12,7 +12,7 @@ import os
 import subprocess
 import sys
 import threading
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
@@ -27,7 +27,7 @@ _lib_lock = threading.Lock()
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-o", _SO, _SRC, "-lz",
+        "-pthread", "-o", _SO, _SRC, "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)

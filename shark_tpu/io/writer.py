@@ -9,7 +9,7 @@ deterministic order the reference produces at t=1.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, TextIO, Tuple
+from typing import Optional, Sequence, Tuple
 
 FastqRecord = Tuple[str, bytes, bytes]
 

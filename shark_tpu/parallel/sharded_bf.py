@@ -27,9 +27,6 @@ the pipeline.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,7 +60,6 @@ def shard_index(index: SharkIndex, n: int):
         else 1
     )
     # per-shard set-bit counts via the word rank at shard boundaries
-    pop = None
     bf_ranks = np.empty((n, wps, 2), dtype=np.uint32)
     gene_mats = []
     max_rows = 1
