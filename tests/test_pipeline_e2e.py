@@ -38,6 +38,62 @@ def test_pipeline_golden(example_dir, tmp_path):
     ).read_bytes()
 
 
+def test_pipeline_single_end_matches_oracle(example_dir, tmp_path):
+    """Single-end run (Python I/O path) vs the per-read oracle, small BF
+    to exercise collisions."""
+    import itertools
+
+    from shark_tpu.classify.oracle import (
+        build_oracle_index,
+        classify_read,
+        fuse_pair,
+    )
+    from shark_tpu.io.fastx import read_fasta, read_fastq
+
+    sample = tmp_path / "sub.fq"
+    with open(sample, "wb") as f:
+        for name, seq, qual in itertools.islice(
+            read_fastq(str(example_dir / "sample_1.fq")), 400
+        ):
+            f.write(b"@" + name.encode() + b"\n" + seq + b"\n+\n" + qual + b"\n")
+
+    cfg = SharkConfig(
+        fasta_path=str(example_dir / "ENSG00000277117.fa"),
+        sample1_path=str(sample),
+        out1_path=str(tmp_path / "out1.fq"),
+        batch_size=128,
+        min_quality=35,  # exercise quality masking end to end
+    )
+    # drive the batch/classify/drain machinery against a small filter
+    # (2^22 bits) so the CPU run stays fast while forcing collisions
+    cfg_bits = 1 << 22
+    from shark_tpu.classify.step import Classifier
+    from shark_tpu.index.build import build_index
+    from shark_tpu.io.writer import OutputWriter
+    from shark_tpu.pipeline import _batches, _drain
+
+    index = build_index(
+        read_fasta(cfg.fasta_path), cfg.k, cfg_bits
+    )
+    oracle = build_oracle_index(read_fasta(cfg.fasta_path), cfg.k, cfg_bits)
+    clf = Classifier(index, max_winners=8, c=cfg.c)
+    ssv = io.StringIO()
+    writer = OutputWriter(ssv, "")
+    for batch in _batches(cfg):
+        _drain(cfg, index, batch, clf(batch.codes), writer, 8)
+    writer.close()
+
+    want_lines = []
+    from shark_tpu.io.fastx import read_fastq_pairs
+
+    for r1, _ in read_fastq_pairs(str(sample), None):
+        codes = fuse_pair(r1, None, cfg.min_quality)
+        wins, _, _ = classify_read(oracle, codes, cfg.c, cfg.single)
+        for g in wins:
+            want_lines.append(f"{r1[0]} {oracle.gene_names[g]}\n")
+    assert ssv.getvalue() == "".join(want_lines)
+
+
 def test_index_save_load_roundtrip(example_dir, tmp_path):
     from shark_tpu.index.build import build_index
     from shark_tpu.index.structure import SharkIndex
