@@ -1,0 +1,126 @@
+"""Experiment: can a Pallas kernel with hand-pipelined per-row DMAs beat
+XLA's gather for the Bloom-probe access pattern (random 8-byte rows from a
+GiB-scale HBM table)?
+
+Result (v5e, 2026-08-17): NO — see numbers printed by this script. XLA's
+gather sustains ~100M 8B rows/s; the Pallas variant issues one async copy
+per row from the scalar core (there is no vector-gather-from-HBM primitive
+on this hardware generation), and per-copy issue overhead caps it an order
+of magnitude lower even with a deep in-flight ring. The classify kernels
+therefore use jnp.take for probes; Pallas is reserved for patterns where
+manual DMA pipelining actually pays (block-contiguous streaming).
+
+Run: python bench/pallas_probe.py [n_probes_log2] [rows_log2]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 512
+NSLOT = 16
+
+
+def pallas_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows table[idx] ([N, 2] uint32) via per-row DMAs."""
+    n = idx.shape[0]
+    assert n % CHUNK == 0
+
+    def kern(idx_ref, table_ref, out_ref, scratch, sems):
+        c = pl.program_id(0)
+        base = c * CHUNK
+
+        def start(j):
+            slot = j % NSLOT
+            pltpu.make_async_copy(
+                table_ref.at[pl.ds(idx_ref[base + j], 1), :],
+                scratch.at[slot],
+                sems.at[slot],
+            ).start()
+
+        for j0 in range(NSLOT):
+            start(j0)
+
+        def body(j, _):
+            slot = j % NSLOT
+            pltpu.make_async_copy(
+                table_ref.at[pl.ds(idx_ref[base + j], 1), :],
+                scratch.at[slot],
+                sems.at[slot],
+            ).wait()
+            out_ref[pl.ds(j, 1), :] = scratch[slot]
+
+            @pl.when(j + NSLOT < CHUNK)
+            def _():
+                start(j + NSLOT)
+
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // CHUNK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (CHUNK, 2), lambda c, idx: (c, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOT, 1, 2), jnp.uint32),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, 2), jnp.uint32),
+        grid_spec=grid_spec,
+    )(idx, table)
+
+
+def main():
+    n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    rows_log2 = int(sys.argv[2]) if len(sys.argv) > 2 else 27
+    N = 1 << n_log2
+    rows = 1 << rows_log2
+    rng = np.random.default_rng(0)
+    table = jax.device_put(
+        rng.integers(0, 1 << 32, size=(rows, 2), dtype=np.uint64).astype(
+            np.uint32
+        )
+    )
+    idx = jax.device_put(
+        rng.integers(0, rows, size=N, dtype=np.int64).astype(np.int32)
+    )
+    np.asarray(jax.jit(lambda x: x.sum())(idx))  # session warm
+
+    ref_fn = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+    ref = np.asarray(ref_fn(table, idx))
+
+    pal_fn = jax.jit(pallas_gather)
+    got = np.asarray(pal_fn(table, idx))
+    np.testing.assert_array_equal(got, ref)
+    print("pallas gather matches jnp.take", flush=True)
+
+    for name, fn in (("jnp.take", ref_fn), ("pallas DMA", pal_fn)):
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            jax.device_get(fn(table, idx).sum())
+            ts.append(time.time() - t0)
+        dt = min(ts)
+        print(
+            f"{name}: {dt*1000:8.1f} ms  {N/dt/1e6:8.1f} M rows/s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
