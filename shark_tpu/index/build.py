@@ -80,15 +80,18 @@ def build_index(
         starts = np.flatnonzero(np.diff(word_of, prepend=-1))
         bf_words[word_of[starts]] = np.bitwise_or.reduceat(bit_of, starts)
 
-    # Per-word exclusive cumulative popcount (the rank structure).
-    pop = popcount_u32(bf_words).astype(np.uint64)
-    total_bits = int(pop.sum())
-    assert total_bits == n_set
-    if total_bits >= (1 << 32):
+    # Per-word exclusive cumulative popcount (the rank structure). Stay in
+    # uint32 end to end: uint64 intermediates over the 2^28-word default
+    # filter cost ~50s of allocation+conversion (measured); n_set < 2^32
+    # is guaranteed by the positions fitting the association table.
+    if n_set >= (1 << 32):
         raise ValueError("too many set bits for uint32 rank")
+    pop = popcount_u32(bf_words)
     word_rank = np.zeros(n_words, dtype=np.uint32)
     if n_words > 1:
-        word_rank[1:] = np.cumsum(pop[:-1]).astype(np.uint32)
+        np.cumsum(pop[:-1], dtype=np.uint32, out=word_rank[1:])
+    total_bits = int(word_rank[-1]) + int(pop[-1]) if n_words else 0
+    assert total_bits == n_set
 
     # CSR association table: rank of each (position, gene) pair, stable by
     # gene order => ascending unique gene list per set bit.
