@@ -1,0 +1,69 @@
+"""Multi-gene stress: genes with shared segments (homologs) force shared
+k-mers, multi-winner ties, and deg>1 association rows through the whole
+device path; verdicts must match the oracle exactly."""
+
+import numpy as np
+import pytest
+
+from shark_tpu.classify.oracle import build_oracle_index, classify_read
+from shark_tpu.classify.step import (
+    PACK_EMIT_SHIFT,
+    PACK_NW_BITS,
+    PACK_NW_SHIFT,
+    Classifier,
+)
+from shark_tpu.index.build import build_index
+from shark_tpu.ops.kmers import encode_bytes
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+K = 15
+SIZE_BITS = 1 << 20
+
+
+@pytest.fixture(scope="module")
+def homolog_workload():
+    rng = np.random.default_rng(99)
+    # gene families: 10 families x 4 members sharing a 150bp core
+    records = []
+    for fam in range(10):
+        core = BASES[rng.integers(0, 4, size=150)]
+        for m in range(4):
+            left = BASES[rng.integers(0, 4, size=80)]
+            right = BASES[rng.integers(0, 4, size=80)]
+            seq = np.concatenate([left, core, right])
+            records.append((f"F{fam}M{m}", seq.tobytes()))
+    index = build_index(records, K, SIZE_BITS)
+    oracle = build_oracle_index(records, K, SIZE_BITS)
+    # reads straddling core/flank boundaries -> shared AND unique k-mers
+    reads = []
+    for _ in range(400):
+        _, seq = records[rng.integers(0, len(records))]
+        start = int(rng.integers(0, len(seq) - 90))
+        reads.append(seq[start : start + 90])
+    return index, oracle, reads
+
+
+def test_homolog_ties_match_oracle(homolog_workload):
+    index, oracle, reads = homolog_workload
+    assert index.max_degree >= 4  # the shared cores must really share
+    L = 128
+    codes = np.full((len(reads), L), 4, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_bytes(r)
+    clf = Classifier(index, max_winners=8, c=0.6)
+    packed, winners, best_cov, length = (np.asarray(x) for x in clf(codes))
+    nw = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
+    emit = ((packed >> PACK_EMIT_SHIFT) & 1).astype(bool)
+
+    n_multi = 0
+    for i, r in enumerate(reads):
+        want_w, want_cov, want_len = classify_read(
+            oracle, encode_bytes(r), 0.6, False
+        )
+        got_emit = bool(emit[i]) and nw[i] > 0
+        assert got_emit == bool(want_w), i
+        if want_w:
+            got = winners[i, : nw[i]].tolist()
+            assert got == want_w, (i, got, want_w)
+            n_multi += len(want_w) > 1
+    assert n_multi > 10  # the workload must actually produce ties
