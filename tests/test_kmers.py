@@ -55,26 +55,28 @@ def test_host_windows_match_bruteforce():
 
 def test_jax_matches_host():
     rng = np.random.default_rng(11)
-    k = 17
     B, L = 16, 96
-    rows = []
-    for _ in range(B):
-        seq = rng.choice(
-            np.frombuffer(b"ACGTN", np.uint8), size=L, p=[0.24, 0.24, 0.24, 0.24, 0.04]
-        )
-        rows.append(seq)
-    seqs = np.stack(rows)
-    codes = encode_bytes(seqs.tobytes()).reshape(B, L)
-    canon, valid = canonical_kmers_jax(jnp.asarray(codes), k)
-    canon_np = (
-        np.asarray(canon[0], np.uint64) << np.uint64(32)
-    ) | np.asarray(canon[1], np.uint64)
-    valid = np.asarray(valid)
-    for b in range(B):
-        want_canon, want_pos = canonical_kmers_np(codes[b], k)
-        got_pos = np.nonzero(valid[b])[0]
-        np.testing.assert_array_equal(got_pos, want_pos)
-        np.testing.assert_array_equal(canon_np[b][got_pos], want_canon)
+    for k in (1, 2, 5, 17, 24, 31):
+        rows = []
+        for _ in range(B):
+            seq = rng.choice(
+                np.frombuffer(b"ACGTN", np.uint8),
+                size=L,
+                p=[0.24, 0.24, 0.24, 0.24, 0.04],
+            )
+            rows.append(seq)
+        seqs = np.stack(rows)
+        codes = encode_bytes(seqs.tobytes()).reshape(B, L)
+        canon, valid = canonical_kmers_jax(jnp.asarray(codes), k)
+        canon_np = (
+            np.asarray(canon[0], np.uint64) << np.uint64(32)
+        ) | np.asarray(canon[1], np.uint64)
+        valid = np.asarray(valid)
+        for b in range(B):
+            want_canon, want_pos = canonical_kmers_np(codes[b], k)
+            got_pos = np.nonzero(valid[b])[0]
+            np.testing.assert_array_equal(got_pos, want_pos, err_msg=f"k={k}")
+            np.testing.assert_array_equal(canon_np[b][got_pos], want_canon)
 
 
 def test_revcomp_involution_property():
