@@ -2,13 +2,15 @@
 XLA's gather for the Bloom-probe access pattern (random 8-byte rows from a
 GiB-scale HBM table)?
 
-Result (v5e, 2026-08-17): NO — see numbers printed by this script. XLA's
-gather sustains ~100M 8B rows/s; the Pallas variant issues one async copy
-per row from the scalar core (there is no vector-gather-from-HBM primitive
-on this hardware generation), and per-copy issue overhead caps it an order
-of magnitude lower even with a deep in-flight ring. The classify kernels
-therefore use jnp.take for probes; Pallas is reserved for patterns where
-manual DMA pipelining actually pays (block-contiguous streaming).
+Result (v5e, 2026-08-17, 4M random probes of a 1 GiB table): NO —
+  jnp.take      72.9 ms  (~93M rows/s after subtracting dispatch floor)
+  pallas DMA   185.9 ms  (~26M rows/s), NSLOT=16 in-flight copies
+XLA's gather wins 3-4x: the Pallas variant must issue one async copy per
+row from the scalar core (there is no vector-gather-from-HBM primitive on
+this hardware generation) and per-copy issue overhead dominates even with
+a deep in-flight ring. The classify kernels therefore use jnp.take for
+probes; Pallas is reserved for patterns where manual DMA pipelining
+actually pays (block-contiguous streaming).
 
 Run: python bench/pallas_probe.py [n_probes_log2] [rows_log2]
 """
@@ -25,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 512
+CHUNK = 1024  # SMEM-blocked s32 operands must tile to 1024
 NSLOT = 16
 
 
@@ -39,13 +41,10 @@ def pallas_gather_tiles(table_tiles: jax.Array, idx: jax.Array) -> jax.Array:
     assert n % CHUNK == 0
 
     def kern(idx_ref, table_ref, out_ref, scratch, sems):
-        c = pl.program_id(0)
-        base = c * CHUNK
-
         def start(j):
             slot = j % NSLOT
             pltpu.make_async_copy(
-                table_ref.at[pl.ds(idx_ref[base + j] >> 6, 1), :],
+                table_ref.at[pl.ds(idx_ref[j] >> 6, 1), :],
                 scratch.at[slot],
                 sems.at[slot],
             ).start()
@@ -56,7 +55,7 @@ def pallas_gather_tiles(table_tiles: jax.Array, idx: jax.Array) -> jax.Array:
         def body(j, _):
             slot = j % NSLOT
             pltpu.make_async_copy(
-                table_ref.at[pl.ds(idx_ref[base + j] >> 6, 1), :],
+                table_ref.at[pl.ds(idx_ref[j] >> 6, 1), :],
                 scratch.at[slot],
                 sems.at[slot],
             ).wait()
@@ -71,11 +70,16 @@ def pallas_gather_tiles(table_tiles: jax.Array, idx: jax.Array) -> jax.Array:
         jax.lax.fori_loop(0, CHUNK, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(n // CHUNK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(
+                (CHUNK,), lambda c: (c,), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=pl.BlockSpec(
-            (CHUNK, 128), lambda c, idx: (c, 0), memory_space=pltpu.VMEM
+            (CHUNK, 128), lambda c: (c, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((NSLOT, 1, 128), jnp.uint32),
@@ -103,15 +107,20 @@ def main():
     idx_host = rng.integers(0, rows, size=N, dtype=np.int64).astype(np.int32)
     idx = jax.device_put(idx_host)
     np.asarray(jax.jit(lambda x: x.sum())(idx))  # session warm
+    print("session up", flush=True)
 
     ref_fn = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
-    ref = np.asarray(ref_fn(table, idx))
-
     pal_fn = jax.jit(pallas_gather_tiles)
-    tiles = np.asarray(pal_fn(table_tiles, idx))
-    within = (idx_host & 63) * 2
+
+    # correctness on a small prefix (full fetch over a tunnel is slow)
+    nv = min(N, CHUNK * 8)
+    idx_v = idx_host[:nv]
+    ref = np.asarray(ref_fn(table, jax.device_put(idx_v)))
+    tiles = np.asarray(pal_fn(table_tiles, jax.device_put(idx_v)))
+    within = (idx_v & 63) * 2
     got = np.stack(
-        [tiles[np.arange(N), within], tiles[np.arange(N), within + 1]], axis=1
+        [tiles[np.arange(nv), within], tiles[np.arange(nv), within + 1]],
+        axis=1,
     )
     np.testing.assert_array_equal(got, ref)
     print("pallas gather matches jnp.take", flush=True)
