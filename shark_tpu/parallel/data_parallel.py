@@ -21,6 +21,7 @@ from shark_tpu.classify.step import (
     StaticMeta,
     build_device_index,
     classify_kernel,
+    classify_kernel_packed,
     emit_threshold_table,
 )
 from shark_tpu.index.structure import SharkIndex
@@ -51,21 +52,27 @@ class DataParallelClassifier:
         self._fns = {}
         self._thresh = {}
 
-    def _fn(self, L: int):
-        fn = self._fns.get(L)
+    def _fn(self, L: int, packed: bool = False):
+        key = (L, packed)
+        fn = self._fns.get(key)
         if fn is None:
             meta = StaticMeta.for_index(self.index, L)
             batch_sharded = NamedSharding(self.mesh, P("dp"))
             kern = functools.partial(
-                classify_kernel, meta=meta, max_winners=self.max_winners
+                classify_kernel_packed if packed else classify_kernel,
+                meta=meta,
+                max_winners=self.max_winners,
+            )
+            data_shardings = (
+                (batch_sharded, batch_sharded) if packed else (batch_sharded,)
             )
             fn = jax.jit(
                 kern,
                 in_shardings=(
                     DeviceIndex(bf_rank=self._repl, gene_mat=self._repl),
                     self._repl,
-                    batch_sharded,
-                ),
+                )
+                + data_shardings,
                 out_shardings=(
                     batch_sharded,
                     batch_sharded,
@@ -73,17 +80,26 @@ class DataParallelClassifier:
                     batch_sharded,
                 ),
             )
-            self._fns[L] = fn
-            self._thresh[L] = jax.device_put(
-                emit_threshold_table(self.c, L), self._repl
-            )
+            self._fns[key] = fn
+            if L not in self._thresh:
+                self._thresh[L] = jax.device_put(
+                    emit_threshold_table(self.c, L), self._repl
+                )
         return fn
 
-    def __call__(self, codes: np.ndarray):
-        B = codes.shape[0]
+    def _check_b(self, B: int):
         if B % self.n_devices != 0:
             raise ValueError(
                 f"batch size {B} not divisible by {self.n_devices} devices"
             )
+
+    def __call__(self, codes: np.ndarray):
+        self._check_b(codes.shape[0])
         fn = self._fn(codes.shape[1])
         return fn(self.dix, self._thresh[codes.shape[1]], codes)
+
+    def call_packed(self, packed: np.ndarray, vmask: np.ndarray):
+        self._check_b(packed.shape[0])
+        L = packed.shape[1] * 4
+        fn = self._fn(L, packed=True)
+        return fn(self.dix, self._thresh[L], packed, vmask)

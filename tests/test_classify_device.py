@@ -186,3 +186,18 @@ def test_multi_device_matches_single(workload):
     got = [np.asarray(x) for x in multi(codes)]
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(a, b)
+
+    # packed-input path over the mesh must agree too
+    L4, L8 = L // 4, L // 8
+    packed = np.zeros((B, L4), dtype=np.uint8)
+    vmask = np.zeros((B, L8), dtype=np.uint8)
+    for i in range(L):  # planar layout (see unpack_codes)
+        c = codes[:, i]
+        v = c < 4
+        packed[:, i % L4] |= np.where(v, c, 0).astype(np.uint8) << (
+            2 * (i // L4)
+        )
+        vmask[:, i % L8] |= v.astype(np.uint8) << (i // L8)
+    got_p = [np.asarray(x) for x in multi.call_packed(packed, vmask)]
+    for a, b in zip(ref, got_p):
+        np.testing.assert_array_equal(a, b)
