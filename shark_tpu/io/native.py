@@ -78,6 +78,23 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int,
         ]
+        lib.shk_build.restype = ctypes.c_void_p
+        lib.shk_build.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64,
+        ]
+        lib.shk_build_sizes.restype = ctypes.c_int
+        lib.shk_build_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.shk_build_error.restype = ctypes.c_char_p
+        lib.shk_build_error.argtypes = [ctypes.c_void_p]
+        lib.shk_build_fetch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_char_p,
+        ]
+        lib.shk_build_free.argtypes = [ctypes.c_void_p]
         lib.shk_n_associations.restype = ctypes.c_long
         lib.shk_n_associations.argtypes = [ctypes.c_void_p]
         lib.shk_n_reads_out.restype = ctypes.c_long
@@ -213,6 +230,51 @@ class NativeStream:
             self.close()
         except Exception:
             pass
+
+
+def build_index_native(fasta_path: str, k: int, size_bits: int):
+    """Build a SharkIndex via the C++ engine. Returns None if unavailable;
+    raises on build errors (bad file, gene-capacity overflow)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from shark_tpu.index.structure import SharkIndex
+
+    h = lib.shk_build(fasta_path.encode(), k, size_bits)
+    try:
+        sizes = (ctypes.c_int64 * 4)()
+        if lib.shk_build_sizes(h, sizes) != 0:
+            raise ValueError(lib.shk_build_error(h).decode())
+        n_words, n_off, n_assoc, names_len = (int(x) for x in sizes)
+        bf_words = np.empty(n_words, dtype=np.uint32)
+        word_rank = np.empty(n_words, dtype=np.uint32)
+        offsets = np.empty(max(n_off, 1), dtype=np.int32)
+        offsets[0] = 0
+        gene_ids = np.empty(max(n_assoc, 1), dtype=np.uint16)
+        names_buf = ctypes.create_string_buffer(names_len)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.shk_build_fetch(
+            h,
+            bf_words.ctypes.data_as(u32p),
+            word_rank.ctypes.data_as(u32p),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            gene_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            names_buf,
+        )
+        names = (
+            names_buf.raw[:names_len].decode().splitlines() if names_len else []
+        )
+        return SharkIndex(
+            k=k,
+            size_bits=size_bits,
+            bf_words=bf_words,
+            word_rank=word_rank,
+            offsets=offsets[:n_off] if n_off else offsets[:1],
+            gene_ids=gene_ids[:n_assoc],
+            gene_names=names,
+        )
+    finally:
+        lib.shk_build_free(h)
 
 
 def available() -> bool:

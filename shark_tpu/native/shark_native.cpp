@@ -23,6 +23,7 @@
 #include <unistd.h>
 #include <zlib.h>
 
+#include <algorithm>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -125,6 +126,28 @@ struct CodeInit {
     CODE[(int)'T'] = CODE[(int)'t'] = 3;
   }
 } code_init;
+
+// Rolling canonical k-mer scan: calls f(min(fwd, revcomp), end_pos) for
+// every all-valid window (reference semantics, KmerBuilder.hpp:52-67).
+template <typename F>
+void scan_canonical(const std::string& seq, int k, F&& f) {
+  const size_t n = seq.size();
+  if ((int)n < k) return;
+  uint64_t fwd = 0, rc = 0;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int top = 2 * (k - 1);
+  int run = 0;
+  for (size_t i = 0; i < n; i++) {
+    uint8_t c = (uint8_t)CODE[(uint8_t)seq[i]];
+    if (c >= 4) {
+      run = 0;
+      continue;
+    }
+    fwd = ((fwd << 2) | c) & mask;
+    rc = (rc >> 2) | ((uint64_t)(3 - c) << top);
+    if (++run >= k) f(fwd < rc ? fwd : rc, i);
+  }
+}
 
 struct Batch {
   std::vector<Record> r1, r2;
@@ -432,5 +455,147 @@ void shk_close(void* h) {
   delete s->f2;
   delete s;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native index builder: FASTA -> bit-vector + per-word rank + CSR arrays.
+//
+// Same construction as shark_tpu/index/build.py (semantics per reference
+// bloomfilter.h:57-75, 111-188: per Bloom position, the ascending
+// duplicate-free list of genes touching it), in C++ for transcriptome-scale
+// inputs. Two-phase ABI: shk_build() parses and assembles into
+// internally-owned arrays and returns a handle + sizes; shk_build_fetch()
+// copies into caller-provided numpy buffers; shk_build_free() releases.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint64_t kP1 = 11400714785074694791ULL;
+constexpr uint64_t kP2 = 14029467366897019727ULL;
+constexpr uint64_t kP3 = 1609587929392839161ULL;
+constexpr uint64_t kP4 = 9650029242287828579ULL;
+constexpr uint64_t kP5 = 2870177450012600261ULL;
+
+inline uint64_t rotl64(uint64_t x, int r) { return (x << r) | (x >> (64 - r)); }
+
+inline uint64_t xxh64_8(uint64_t x) {
+  uint64_t h = kP5 + 8;
+  uint64_t k1 = rotl64(x * kP2, 31) * kP1;
+  h ^= k1;
+  h = rotl64(h, 27) * kP1 + kP4;
+  h ^= h >> 33;
+  h *= kP2;
+  h ^= h >> 29;
+  h *= kP3;
+  h ^= h >> 32;
+  return h;
+}
+
+struct BuildResult {
+  uint64_t size_bits = 0;
+  std::vector<uint32_t> bf_words;
+  std::vector<uint32_t> word_rank;
+  std::vector<int32_t> offsets;
+  std::vector<uint16_t> gene_ids;
+  std::string names;  // '\n'-joined gene names in id order
+  std::string err;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* shk_build(const char* fasta_path, int k, uint64_t size_bits) {
+  BuildResult* r = new BuildResult;
+  r->size_bits = size_bits;
+  LineReader lr(fasta_path);
+  if (!lr.ok()) {
+    r->err = "cannot open fasta";
+    return r;
+  }
+  std::vector<std::pair<uint64_t, uint32_t>> pairs;  // (position, gene)
+  std::vector<uint64_t> pos;
+  std::string line, seq;
+  long gene = -1;
+  auto flush = [&]() {
+    if (gene < 0) return;
+    pos.clear();
+    scan_canonical(seq, k, [&](uint64_t canon, size_t) {
+      pos.push_back(xxh64_8(canon) % size_bits);
+    });
+    std::sort(pos.begin(), pos.end());
+    pos.erase(std::unique(pos.begin(), pos.end()), pos.end());
+    for (uint64_t p : pos) pairs.emplace_back(p, (uint32_t)gene);
+    seq.clear();
+  };
+  while (lr.getline(line)) {
+    if (!line.empty() && (line[0] == '>' || line[0] == '@')) {
+      flush();
+      gene++;
+      size_t sp = line.find_first_of(" \t", 1);
+      r->names.append(line, 1,
+                      (sp == std::string::npos ? line.size() : sp) - 1);
+      r->names.push_back('\n');
+    } else if (gene >= 0) {
+      seq += line;
+    }
+  }
+  flush();
+  if (gene + 1 > 65536) {
+    r->err = "too many genes (uint16 gene-id capacity is 65536)";
+    return r;
+  }
+
+  std::stable_sort(
+      pairs.begin(), pairs.end(),
+      [](const auto& a, const auto& b) { return a.first < b.first; });
+  uint64_t n_words = size_bits / 32;
+  r->bf_words.assign(n_words, 0);
+  for (auto& pg : pairs) r->bf_words[pg.first >> 5] |= 1u << (pg.first & 31);
+  r->word_rank.assign(n_words, 0);
+  uint64_t acc = 0;
+  for (uint64_t w = 0; w < n_words; w++) {
+    r->word_rank[w] = (uint32_t)acc;
+    acc += __builtin_popcount(r->bf_words[w]);
+  }
+  r->offsets.reserve(acc + 1);
+  r->offsets.push_back(0);
+  r->gene_ids.reserve(pairs.size());
+  uint64_t prev = ~0ULL;
+  for (auto& pg : pairs) {
+    if (pg.first != prev && prev != ~0ULL)
+      r->offsets.push_back((int32_t)r->gene_ids.size());
+    r->gene_ids.push_back((uint16_t)pg.second);
+    prev = pg.first;
+  }
+  if (!pairs.empty()) r->offsets.push_back((int32_t)r->gene_ids.size());
+  return r;
+}
+
+// Sizes: n_words, n_offsets, n_assoc, names_bytes; returns 0 ok, -1 error.
+int shk_build_sizes(void* h, int64_t* out4) {
+  BuildResult* r = (BuildResult*)h;
+  if (!r->err.empty()) return -1;
+  out4[0] = (int64_t)r->bf_words.size();
+  out4[1] = (int64_t)r->offsets.size();
+  out4[2] = (int64_t)r->gene_ids.size();
+  out4[3] = (int64_t)r->names.size();
+  return 0;
+}
+
+const char* shk_build_error(void* h) { return ((BuildResult*)h)->err.c_str(); }
+
+void shk_build_fetch(void* h, uint32_t* bf_words, uint32_t* word_rank,
+                     int32_t* offsets, uint16_t* gene_ids, char* names) {
+  BuildResult* r = (BuildResult*)h;
+  memcpy(bf_words, r->bf_words.data(), r->bf_words.size() * 4);
+  memcpy(word_rank, r->word_rank.data(), r->word_rank.size() * 4);
+  memcpy(offsets, r->offsets.data(), r->offsets.size() * 4);
+  memcpy(gene_ids, r->gene_ids.data(), r->gene_ids.size() * 2);
+  memcpy(names, r->names.data(), r->names.size());
+}
+
+void shk_build_free(void* h) { delete (BuildResult*)h; }
 
 }  // extern "C"

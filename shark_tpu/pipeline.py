@@ -334,7 +334,13 @@ def load_or_build_index(cfg: SharkConfig, timer: PhaseTimer) -> SharkIndex:
                 file=sys.stderr,
             )
         return index
-    index = build_index(read_fasta(cfg.fasta_path), cfg.k, cfg.bf_bits)
+    index = None
+    if cfg.use_native:
+        from shark_tpu.io.native import build_index_native
+
+        index = build_index_native(cfg.fasta_path, cfg.k, cfg.bf_bits)
+    if index is None:
+        index = build_index(read_fasta(cfg.fasta_path), cfg.k, cfg.bf_bits)
     timer.mark(f"BF created from transcripts ({index.n_genes} genes)")
     if cfg.save_index:
         index.save(cfg.save_index)

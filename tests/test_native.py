@@ -112,6 +112,26 @@ def test_native_gzip(tmp_path, example_dir):
     ns.close()
 
 
+def test_native_index_build_matches_python(example_dir):
+    from shark_tpu.index.build import build_index
+    from shark_tpu.io.fastx import read_fasta
+    from shark_tpu.io.native import build_index_native
+
+    size_bits = 1 << 20
+    py = build_index(
+        read_fasta(str(example_dir / "ENSG00000277117.fa")), 17, size_bits
+    )
+    nat = build_index_native(
+        str(example_dir / "ENSG00000277117.fa"), 17, size_bits
+    )
+    assert nat is not None
+    assert nat.gene_names == py.gene_names
+    for f in ("bf_words", "word_rank", "offsets", "gene_ids"):
+        np.testing.assert_array_equal(
+            getattr(nat, f), getattr(py, f), err_msg=f
+        )
+
+
 @pytest.mark.slow
 def test_native_pipeline_golden(example_dir, tmp_path):
     """Full pipeline through the native engine: byte-exact vs truth files."""
