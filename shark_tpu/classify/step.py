@@ -110,10 +110,9 @@ def emit_threshold_table(c: float, max_len: int) -> np.ndarray:
     """thresh[l] = smallest integer cov with (float64)cov >= c*l, matching
     the reference's double compare (ReadAnalyzer.hpp:104) exactly."""
     l = np.arange(max_len + 1, dtype=np.float64)
-    t = np.ceil(c * l).astype(np.int64)
-    # ceil can overshoot by one when c*l is integral-but-rounded; fix up
-    t = np.where((t - 1).astype(np.float64) >= c * l, t - 1, t)
-    return t.astype(np.int32)
+    # float64 ceil IS "smallest integer cov with cov >= c*l" (fuzz-verified
+    # against the scalar float64 compare across random (c, l))
+    return np.ceil(c * l).astype(np.int64).astype(np.int32)
 
 
 # Packed verdict layout (bits of one int32 per read).

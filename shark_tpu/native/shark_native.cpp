@@ -57,7 +57,10 @@ class LineReader {
       if (pos_ == len_) {
         len_ = gzread(gz_, buf_, sizeof(buf_));
         pos_ = 0;
-        if (len_ <= 0) return !out.empty();
+        if (len_ <= 0) {
+          len_ = 0;  // latch errors (-1) as EOF; never leave len_ negative
+          return !out.empty();
+        }
       }
       char* nl = (char*)memchr(buf_ + pos_, '\n', len_ - pos_);
       if (nl) {
@@ -292,7 +295,7 @@ extern "C" {
 
 void* shk_open(const char* fq1, const char* fq2, int batch_size, int max_len,
                int min_quality, int pack_mode) {
-  if (max_len % 8 != 0) return nullptr;
+  if (pack_mode && max_len % 8 != 0) return nullptr;  // planes need %8
   Stream* s = new Stream;
   s->batch_size = batch_size;
   s->max_len = max_len;

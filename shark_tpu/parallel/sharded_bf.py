@@ -213,6 +213,13 @@ class ShardedBFClassifier:
         meta = StaticMeta.for_index(self.index, L)
         n, wps, D, axis = self.n, self.wps, self.D, self.axis
         b = B // n
+        # routing sort keys are owner*Pn + slot in uint32 (sentinel n*Pn)
+        pn = b * max(L - meta.k + 1, 1)
+        if (n + 1) * pn >= (1 << 32):
+            raise ValueError(
+                f"per-device probe count {pn} x {n} shards exceeds 32-bit "
+                "routing keys; reduce the per-device batch"
+            )
         cap = int(np.ceil(self.slack * b * L / n))
         cap = max(cap, 8)
         max_winners = self.max_winners

@@ -92,60 +92,27 @@ def _drain(
     writer: OutputWriter,
     max_winners: int,
 ) -> None:
-    from shark_tpu.classify.step import (
-        PACK_EMIT_SHIFT,
-        PACK_NW_BITS,
-        PACK_NW_SHIFT,
-        PACK_OVF_SHIFT,
+    """Decode one batch's verdicts and emit through the Python writer
+    (non-native path); shares all verdict/overflow logic with the native
+    path via _winner_pairs."""
+    ri, gi = _winner_pairs(
+        cfg, index, result, batch.n, batch.codes, max_winners
     )
-
-    if len(result) > 4:  # sharded-BF routing overflow counter
-        ovf = int(np.asarray(result[4]).sum())
-        if ovf:
-            raise RuntimeError(
-                f"sharded-BF probe bucket overflow ({ovf} probes dropped); "
-                "increase the routing slack"
-            )
-    packed_dev, winners_dev = result[0], result[1]
-    packed = np.asarray(packed_dev)[: batch.n]
-    winner0 = packed & ((1 << PACK_NW_SHIFT) - 1)
-    n_winners = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
-    dev_ovf = ((packed >> PACK_OVF_SHIFT) & 1).astype(bool)
-    emit = ((packed >> PACK_EMIT_SHIFT) & 1).astype(bool) & (n_winners > 0)
-    if cfg.single:
-        emit &= n_winners == 1
-    # The winner matrix only crosses the device->host link when a batch
-    # actually contains a multi-winner read.
-    winners = None
-    if np.any(emit & (n_winners > 1) & ~dev_ovf):
-        winners = np.asarray(winners_dev)
     names = index.gene_names
     rec2 = batch.recs2
-    for i in np.flatnonzero(emit | dev_ovf):
-        nw = int(n_winners[i])
-        if dev_ovf[i] or nw > max_winners or nw == (1 << PACK_NW_BITS) - 1:
-            # incomplete device verdict (compaction overflow) or more tied
-            # winners than the device width: recompute exactly on the host
-            from shark_tpu.classify.oracle import classify_read, fuse_pair
-
-            shim = _ShimIndex(index)
-            codes = fuse_pair(
-                batch.recs1[i],
-                rec2[i] if rec2 is not None else None,
-                cfg.min_quality,
-            )
-            wins, _, _ = classify_read(shim, codes, cfg.c, cfg.single)
-            gene_list = [names[g] for g in wins]
-        elif nw == 1:
-            gene_list = [names[winner0[i]]]
-        else:
-            gene_list = [names[g] for g in winners[i, :nw]]
-        if gene_list:
-            writer.emit_read(
-                gene_list,
-                batch.recs1[i],
-                rec2[i] if rec2 is not None else None,
-            )
+    n = len(ri)
+    i = 0
+    while i < n:
+        r = ri[i]
+        j = i
+        while j < n and ri[j] == r:
+            j += 1
+        writer.emit_read(
+            [names[g] for g in gi[i:j]],
+            batch.recs1[r],
+            rec2[r] if rec2 is not None else None,
+        )
+        i = j
 
 
 def _winner_pairs(
@@ -274,13 +241,14 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
             item = q.get()
             if item is None:
                 return
+            if drain_err:
+                continue  # keep the queue moving so q.put never deadlocks
             c_, s_, n_, r_ = item
             try:
                 ri, gi = _winner_pairs(cfg, index, r_, n_, c_, cfg.max_winners)
                 ns.emit(s_, ri, gi)
             except BaseException as e:  # noqa: BLE001 - reraised on main
                 drain_err.append(e)
-                return
 
     th = threading.Thread(target=drainer, daemon=True)
     th.start()
@@ -431,19 +399,19 @@ def _run_pipeline_inner(cfg: SharkConfig, ssv_stream, timer: PhaseTimer) -> dict
             stats["classify_s"] = stats["elapsed_s"] - index_s - stats["warmup_s"]
             return stats
 
+    own_ssv = None
+    if ssv_stream is None and cfg.ssv_path:
+        own_ssv = open(cfg.ssv_path, "w")
     writer = OutputWriter(
-        ssv_stream or sys.stdout, cfg.out1_path, cfg.out2_path
+        ssv_stream or own_ssv or sys.stdout, cfg.out1_path, cfg.out2_path
     )
 
     if cfg.max_read_len:
         # Known geometry: pay the jit compile (and, on tunneled TPU
         # setups, the one-time session spin-up) before the timed stream.
-        import jax
-
         warm = np.full(
             (cfg.batch_size, cfg.max_read_len), 4, dtype=np.uint8
         )
-        jax.block_until_ready(classifier(warm))
         np.asarray(classifier(warm)[0])
         timer.mark("Device warmup")
     warm_s = timer.elapsed()
@@ -465,6 +433,8 @@ def _run_pipeline_inner(cfg: SharkConfig, ssv_stream, timer: PhaseTimer) -> dict
     for b, res in pending:
         _drain(cfg, index, b, res, writer, cfg.max_winners)
     writer.close()
+    if own_ssv is not None:
+        own_ssv.close()
 
     timer.mark("Sample completed")
     timer.rate("throughput", n_reads, "reads")
