@@ -94,14 +94,18 @@ def build_baseline() -> str:
 def run_baseline(fasta: str, fastq: str) -> dict:
     exe = build_baseline()
     threads = os.cpu_count() or 1
-    log(f"running CPU baseline ({threads} threads) ...")
-    out = subprocess.run(
-        [exe, fasta, fastq, str(K), str(C), str(BF_BITS), str(threads)],
-        check=True, capture_output=True, text=True,
-    ).stdout
-    res = json.loads(out.strip().splitlines()[-1])
-    log(f"baseline: {res}")
-    return res
+    log(f"running CPU baseline ({threads} threads, best of 3) ...")
+    best = None
+    for _ in range(3):
+        out = subprocess.run(
+            [exe, fasta, fastq, str(K), str(C), str(BF_BITS), str(threads)],
+            check=True, capture_output=True, text=True,
+        ).stdout
+        res = json.loads(out.strip().splitlines()[-1])
+        if best is None or res["reads_per_sec"] > best["reads_per_sec"]:
+            best = res
+    log(f"baseline: {best}")
+    return best
 
 
 def run_tpu(fasta: str, fastq: str) -> dict:
@@ -119,10 +123,6 @@ def run_tpu(fasta: str, fastq: str) -> dict:
         bf_gb=BF_BITS >> 33,
         batch_size=65536,
         max_read_len=128,
-        load_index=os.path.join(CACHE, "index.npz")
-        if os.path.exists(os.path.join(CACHE, "index.npz"))
-        else "",
-        save_index=os.path.join(CACHE, "index.npz"),
     )
     log("running shark_tpu pipeline (warm-up + timed) ...")
     stats = run_pipeline(cfg)
@@ -135,13 +135,6 @@ def main() -> None:
     base = run_baseline(fasta, fastq)
     ours = run_tpu(fasta, fastq)
     value = ours["n_reads"] / ours["classify_s"]
-    # second timed run in the warmed session: steadier classify_s
-    try:
-        ours2 = run_tpu(fasta, fastq)
-        if ours2["n_associations"] == ours["n_associations"]:
-            value = max(value, ours2["n_reads"] / ours2["classify_s"])
-    except Exception as e:  # noqa: BLE001 - keep the first result
-        log(f"second timed run failed ({e}); using first")
 
     if ours["n_associations"] != base["n_associations"]:
         log(
