@@ -67,3 +67,39 @@ def test_homolog_ties_match_oracle(homolog_workload):
             assert got == want_w, (i, got, want_w)
             n_multi += len(want_w) > 1
     assert n_multi > 10  # the workload must actually produce ties
+
+
+def test_single_mode_suppresses_ties(homolog_workload):
+    """--single must emit only unique-winner reads (ReadAnalyzer.hpp:105)."""
+    import io
+
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.io.encode import ReadBatch
+    from shark_tpu.io.writer import OutputWriter
+    from shark_tpu.pipeline import _drain
+
+    index, oracle, reads = homolog_workload
+    L = 128
+    codes = np.full((len(reads), L), 4, dtype=np.uint8)
+    recs = []
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_bytes(r)
+        recs.append((f"r{i}", r, b"I" * len(r)))
+    batch = ReadBatch(codes=codes, n=len(reads), ids=[r[0] for r in recs],
+                      recs1=recs, recs2=None)
+    clf = Classifier(index, max_winners=8, c=0.6)
+    result = clf(codes)
+
+    for single in (False, True):
+        cfg = SharkConfig(fasta_path="x", sample1_path="y", single=single)
+        ssv = io.StringIO()
+        writer = OutputWriter(ssv, "")
+        _drain(cfg, index, batch, result, writer, 8)
+        got = ssv.getvalue().splitlines()
+        want = []
+        for i, r in enumerate(reads):
+            wins, _, _ = classify_read(oracle, encode_bytes(r), 0.6, single)
+            want.extend(f"r{i} {oracle.gene_names[g]}" for g in wins)
+        assert got == want, f"single={single}"
+    # sanity: single mode must actually remove some associations here
+    assert len(ssv.getvalue().splitlines()) > 0
