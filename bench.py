@@ -124,6 +124,11 @@ def run_tpu(fasta: str, fastq: str) -> dict:
         batch_size=65536,
         max_read_len=128,
     )
+    idx_dir = os.path.join(CACHE, "index.d")
+    if os.path.isdir(idx_dir):
+        cfg.load_index = idx_dir
+    else:
+        cfg.save_index = idx_dir
     log("running shark_tpu pipeline (warm-up + timed) ...")
     stats = run_pipeline(cfg)
     log(f"shark_tpu: {stats}")

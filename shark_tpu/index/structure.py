@@ -55,19 +55,59 @@ class SharkIndex:
         return self.offsets.size - 1
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path,
-            k=np.int64(self.k),
-            size_bits=np.int64(self.size_bits),
-            bf_words=self.bf_words,
-            word_rank=self.word_rank,
-            offsets=self.offsets,
-            gene_ids=self.gene_ids,
-            gene_names=np.array(self.gene_names, dtype=object),
-        )
+        """Serialize. A path ending in '/' or without an extension becomes a
+        directory of raw .npy arrays (mmap-loadable in ~seconds even at the
+        default 2 GiB scale); a .npz path uses compressed archive format
+        (small on disk, ~tens of seconds to decompress at scale)."""
+        if path.endswith(".npz"):
+            np.savez_compressed(
+                path,
+                k=np.int64(self.k),
+                size_bits=np.int64(self.size_bits),
+                bf_words=self.bf_words,
+                word_rank=self.word_rank,
+                offsets=self.offsets,
+                gene_ids=self.gene_ids,
+                gene_names=np.array(self.gene_names, dtype=object),
+            )
+            return
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        for name in ("bf_words", "word_rank", "offsets", "gene_ids"):
+            np.save(os.path.join(path, name + ".npy"), getattr(self, name))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "k": self.k,
+                    "size_bits": self.size_bits,
+                    "gene_names": self.gene_names,
+                },
+                f,
+            )
 
     @classmethod
     def load(cls, path: str) -> "SharkIndex":
+        import os
+
+        if os.path.isdir(path):
+            import json
+
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+            arrs = {
+                name: np.load(
+                    os.path.join(path, name + ".npy"), mmap_mode="r"
+                )
+                for name in ("bf_words", "word_rank", "offsets", "gene_ids")
+            }
+            return cls(
+                k=int(meta["k"]),
+                size_bits=int(meta["size_bits"]),
+                gene_names=list(meta["gene_names"]),
+                **arrs,
+            )
         with np.load(path, allow_pickle=True) as z:
             return cls(
                 k=int(z["k"]),

@@ -22,8 +22,8 @@ class OutputWriter:
         out2_path: str = "",
     ):
         self.ssv = ssv_stream
-        self.out1 = open(out1_path, "wb") if out1_path else None
-        self.out2 = open(out2_path, "wb") if out2_path else None
+        self.out1 = _open_out(out1_path)
+        self.out2 = _open_out(out2_path)
         self.n_associations = 0
         self.n_reads_out = 0
 
@@ -52,6 +52,18 @@ class OutputWriter:
             self.ssv.flush()
         except Exception:
             pass
+
+
+def _open_out(path: str):
+    """Binary sink; a '.gz' suffix enables transparent gzip compression
+    (capability beyond the reference, mirrored in the native engine)."""
+    if not path:
+        return None
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "wb")
+    return open(path, "wb")
 
 
 def _fastq_bytes(rec: FastqRecord) -> bytes:

@@ -165,6 +165,36 @@ struct Batch {
 
 constexpr int kRing = 8;
 
+// Output file that transparently gzip-compresses when the name ends .gz
+// (capability beyond the reference, which writes plain FASTQ only).
+struct OutFile {
+  FILE* f = nullptr;
+  gzFile gz = nullptr;
+  bool open_path(const char* path) {
+    size_t n = strlen(path);
+    if (n > 3 && strcmp(path + n - 3, ".gz") == 0) {
+      gz = gzopen(path, "wb");
+      return gz != nullptr;
+    }
+    f = fopen(path, "wb");
+    return f != nullptr;
+  }
+  bool is_open() const { return f || gz; }
+  void write(const char* d, size_t n) {
+    if (gz)
+      gzwrite(gz, d, (unsigned)n);
+    else
+      fwrite(d, 1, n, f);
+  }
+  void put(char c) { write(&c, 1); }
+  void close() {
+    if (gz) gzclose(gz);
+    if (f) fclose(f);
+    gz = nullptr;
+    f = nullptr;
+  }
+};
+
 struct Stream {
   FastqReader* f1 = nullptr;
   FastqReader* f2 = nullptr;
@@ -181,8 +211,7 @@ struct Stream {
   std::thread producer;
 
   FILE* ssv = nullptr;
-  FILE* out1 = nullptr;
-  FILE* out2 = nullptr;
+  OutFile out1, out2;
   bool own_ssv = false;
   std::vector<std::string> gene_names;
   long n_associations = 0;
@@ -381,14 +410,8 @@ int shk_set_output(void* h, int ssv_fd, const char* ssv_path,
     s->own_ssv = true;
   }
   if (!s->ssv) return -1;
-  if (out1 && out1[0]) {
-    s->out1 = fopen(out1, "wb");
-    if (!s->out1) return -1;
-  }
-  if (out2 && out2[0]) {
-    s->out2 = fopen(out2, "wb");
-    if (!s->out2) return -1;
-  }
+  if (out1 && out1[0] && !s->out1.open_path(out1)) return -1;
+  if (out2 && out2[0] && !s->out2.open_path(out2)) return -1;
   return 0;
 }
 
@@ -397,14 +420,14 @@ void shk_register_genes(void* h, const char** names, int n) {
   s->gene_names.assign(names, names + n);
 }
 
-static void write_fastq(FILE* f, const Record& r) {
-  fputc('@', f);
-  fwrite(r.name.data(), 1, r.name.size(), f);
-  fputc('\n', f);
-  fwrite(r.seq.data(), 1, r.seq.size(), f);
-  fwrite("\n+\n", 1, 3, f);
-  fwrite(r.qual.data(), 1, r.qual.size(), f);
-  fputc('\n', f);
+static void write_fastq(OutFile& f, const Record& r) {
+  f.put('@');
+  f.write(r.name.data(), r.name.size());
+  f.put('\n');
+  f.write(r.seq.data(), r.seq.size());
+  f.write("\n+\n", 3);
+  f.write(r.qual.data(), r.qual.size());
+  f.put('\n');
 }
 
 // Emit associations for one batch: (read_idx, gene_idx) pairs, grouped by
@@ -429,8 +452,8 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
     s->n_associations++;
     if (r != prev) {
       s->n_reads_out++;
-      if (s->out1) write_fastq(s->out1, rec);
-      if (s->out2 && s->paired) write_fastq(s->out2, b.r2[r]);
+      if (s->out1.is_open()) write_fastq(s->out1, rec);
+      if (s->out2.is_open() && s->paired) write_fastq(s->out2, b.r2[r]);
       prev = r;
     }
   }
@@ -452,8 +475,8 @@ void shk_close(void* h) {
   }
   if (s->producer.joinable()) s->producer.join();
   if (s->ssv) fclose(s->ssv);
-  if (s->out1) fclose(s->out1);
-  if (s->out2) fclose(s->out2);
+  s->out1.close();
+  s->out2.close();
   delete s->f1;
   delete s->f2;
   delete s;

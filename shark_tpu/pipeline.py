@@ -319,6 +319,8 @@ def load_or_build_index(cfg: SharkConfig, timer: PhaseTimer) -> SharkIndex:
 def _smoke_check_inputs(cfg: SharkConfig) -> None:
     """Open/close every input up front so missing files fail before any
     expensive work (the reference's pre-flight block, main.cpp:86-106)."""
+    import os
+
     paths = [] if cfg.load_index else [cfg.fasta_path]
     if cfg.load_index:
         paths.append(cfg.load_index)
@@ -326,6 +328,8 @@ def _smoke_check_inputs(cfg: SharkConfig) -> None:
     if cfg.sample2_path:
         paths.append(cfg.sample2_path)
     for p in paths:
+        if os.path.isdir(p):  # directory-format index
+            continue
         with open(p, "rb"):
             pass
 

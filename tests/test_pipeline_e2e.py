@@ -103,10 +103,40 @@ def test_index_save_load_roundtrip(example_dir, tmp_path):
     idx = build_index(
         read_fasta(str(example_dir / "ENSG00000277117.fa")), 17, 1 << 20
     )
-    path = tmp_path / "index.npz"
-    idx.save(str(path))
-    idx2 = SharkIndex.load(str(path))
-    assert idx2.k == idx.k and idx2.size_bits == idx.size_bits
-    assert idx2.gene_names == idx.gene_names
-    for f in ("bf_words", "word_rank", "offsets", "gene_ids"):
-        np.testing.assert_array_equal(getattr(idx, f), getattr(idx2, f))
+    for name in ("index.npz", "index.d"):  # archive and mmap-dir formats
+        path = tmp_path / name
+        idx.save(str(path))
+        idx2 = SharkIndex.load(str(path))
+        assert idx2.k == idx.k and idx2.size_bits == idx.size_bits
+        assert idx2.gene_names == idx.gene_names
+        for f in ("bf_words", "word_rank", "offsets", "gene_ids"):
+            np.testing.assert_array_equal(getattr(idx, f), getattr(idx2, f))
+
+
+def test_gzip_output_fastq(example_dir, tmp_path):
+    """A .gz out path produces gzip-compressed FASTQ in both writers."""
+    import gzip
+
+    import numpy as np
+
+    from shark_tpu.io.writer import OutputWriter
+
+    rec = ("r1", b"ACGT", b"IIII")
+    gz_path = tmp_path / "o.fq.gz"
+    w = OutputWriter(io.StringIO(), str(gz_path))
+    w.emit_read(["G"], rec, None)
+    w.close()
+    assert gzip.open(gz_path).read() == b"@r1\nACGT\n+\nIIII\n"
+
+    from shark_tpu.io import native
+
+    if native.available():
+        fq = tmp_path / "in.fq"
+        fq.write_bytes(b"@r1\nACGT\n+\nIIII\n")
+        ns = native.NativeStream(str(fq), "", 8, 16, 0)
+        ns.set_output(1, str(tmp_path / "n.ssv"), str(tmp_path / "n.fq.gz"), "")
+        ns.register_genes(["G"])
+        codes, slot, n = ns.next_batch()
+        ns.emit(slot, np.array([0], np.int32), np.array([0], np.int32))
+        ns.close()
+        assert gzip.open(tmp_path / "n.fq.gz").read() == b"@r1\nACGT\n+\nIIII\n"
