@@ -122,10 +122,12 @@ def _winner_pairs(
     n: int,
     codes: np.ndarray,
     max_winners: int,
+    packed_np: Optional[np.ndarray] = None,
 ):
     """Device result -> (read_idx, gene_idx) association arrays, read-ascending,
     genes ascending within a read (the reference's emission order,
-    ReadAnalyzer.hpp:104-108 + ReadOutput.hpp:43-48)."""
+    ReadAnalyzer.hpp:104-108 + ReadOutput.hpp:43-48). `packed_np` supplies a
+    pre-fetched packed-verdict array (grouped-fetch fast path)."""
     from shark_tpu.classify.step import (
         PACK_EMIT_SHIFT,
         PACK_NW_BITS,
@@ -141,7 +143,7 @@ def _winner_pairs(
                 "increase the routing slack"
             )
     packed_dev, winners_dev = result[0], result[1]
-    packed = np.asarray(packed_dev)[:n]
+    packed = (packed_np if packed_np is not None else np.asarray(packed_dev))[:n]
     winner0 = packed & ((1 << PACK_NW_SHIFT) - 1)
     n_winners = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
     dev_ovf = ((packed >> PACK_OVF_SHIFT) & 1).astype(bool)
@@ -216,6 +218,24 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     ns.set_output(1, cfg.ssv_path, cfg.out1_path, cfg.out2_path)
     ns.register_genes(index.gene_names)
 
+    # The drain (fetch verdicts -> winner pairs -> native emit) runs on its
+    # own thread so the device never waits for host post-processing; the
+    # bounded queue caps device-side in-flight batches. Packed verdicts of
+    # GROUP consecutive batches are concatenated on device and fetched in
+    # ONE device->host transfer, amortizing the per-fetch fixed cost
+    # (~30ms on tunneled setups) GROUP-fold.
+    import queue as queue_mod
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    GROUP = 4
+    DEPTH = 1  # queued GROUPS in flight (ring slots pinned <= 3*GROUP)
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=DEPTH)
+    drain_err: List[BaseException] = []
+    concat = jax.jit(lambda *xs: jnp.concatenate(xs))
+
     if use_packed:
         wp = np.zeros((cfg.batch_size, cfg.max_read_len // 4), dtype=np.uint8)
         wv = np.zeros((cfg.batch_size, cfg.max_read_len // 8), dtype=np.uint8)
@@ -223,18 +243,11 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     else:
         warm = np.full((cfg.batch_size, cfg.max_read_len), 4, dtype=np.uint8)
         np.asarray(classifier(warm)[0])
+    # pre-compile the group concat so the first real group isn't charged
+    dummy = [jnp.zeros(cfg.batch_size, jnp.int32) for _ in range(GROUP)]
+    np.asarray(concat(*dummy))
     timer.mark("Device warmup")
     warm_s = timer.elapsed()
-
-    # The drain (fetch verdicts -> winner pairs -> native emit) runs on its
-    # own thread so the device never waits for host post-processing; the
-    # bounded queue caps device-side in-flight batches.
-    import queue as queue_mod
-    import threading
-
-    DEPTH = 4
-    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=DEPTH)
-    drain_err: List[BaseException] = []
 
     def drainer():
         while True:
@@ -243,16 +256,44 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
                 return
             if drain_err:
                 continue  # keep the queue moving so q.put never deadlocks
-            c_, s_, n_, r_ = item
+            entries, cat = item
             try:
-                ri, gi = _winner_pairs(cfg, index, r_, n_, c_, cfg.max_winners)
-                ns.emit(s_, ri, gi)
+                packed_all = np.asarray(cat)
+                off = 0
+                for c_, s_, n_, r_ in entries:
+                    ri, gi = _winner_pairs(
+                        cfg,
+                        index,
+                        r_,
+                        n_,
+                        c_,
+                        cfg.max_winners,
+                        packed_np=packed_all[off : off + cfg.batch_size],
+                    )
+                    ns.emit(s_, ri, gi)
+                    off += cfg.batch_size
             except BaseException as e:  # noqa: BLE001 - reraised on main
                 drain_err.append(e)
+
+    def flush_group(group):
+        if not group:
+            return
+        cat = (
+            concat(*[e[3][0] for e in group])
+            if len(group) > 1
+            else group[0][3][0]
+        )
+        try:
+            cat.copy_to_host_async()
+        except AttributeError:
+            pass
+        q.put((list(group), cat))
+        group.clear()
 
     th = threading.Thread(target=drainer, daemon=True)
     th.start()
     n_reads = 0
+    group: List[tuple] = []
     while not drain_err:
         nb = ns.next_batch()
         if nb is None:
@@ -264,12 +305,11 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
         else:
             host_codes, slot, n = nb
             result = classifier(host_codes)
-        try:
-            result[0].copy_to_host_async()
-        except AttributeError:
-            pass
         n_reads += n
-        q.put((host_codes, slot, n, result))
+        group.append((host_codes, slot, n, result))
+        if len(group) == GROUP:
+            flush_group(group)
+    flush_group(group)
     q.put(None)
     th.join()
     if drain_err:
