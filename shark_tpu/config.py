@@ -42,6 +42,11 @@ class SharkConfig:
     ssv_path: str = ""  # write ssv here instead of stdout (native path)
     use_native: bool = True  # use the C++ host I/O engine when available
     profile_dir: str = ""  # write a jax.profiler trace here
+    # Batches per device->host verdict fetch. In-session A/B on v5e:
+    # grouping (4) measured ~15% SLOWER than per-batch fetches (the group
+    # boundary stalls dispatch more than the saved fixed fetch cost), so
+    # the default is 1; the mechanism remains for higher-latency links.
+    fetch_group: int = 1
 
     @property
     def paired(self) -> bool:

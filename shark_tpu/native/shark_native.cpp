@@ -163,9 +163,9 @@ struct Batch {
   enum State { FREE, FILLED } state = FREE;
 };
 
-// Must cover: the pipeline's current fetch group (4) + queued groups
-// (2x4) + the group being drained (4), with headroom.
-constexpr int kRing = 16;
+// Must cover: the pipeline's current fetch group (<=4) + queued groups
+// (~8 batches of lookahead) + the group being drained (<=4), with margin.
+constexpr int kRing = 20;
 
 // Output file that transparently gzip-compresses when the name ends .gz
 // (capability beyond the reference, which writes plain FASTQ only).

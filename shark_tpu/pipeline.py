@@ -230,8 +230,8 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     import jax
     import jax.numpy as jnp
 
-    GROUP = 4
-    DEPTH = 1  # queued GROUPS in flight (ring slots pinned <= 3*GROUP)
+    GROUP = max(1, cfg.fetch_group)
+    DEPTH = max(1, 8 // GROUP)  # keep ~8 batches of device-side lookahead
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=DEPTH)
     drain_err: List[BaseException] = []
     concat = jax.jit(lambda *xs: jnp.concatenate(xs))
