@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the native C++ host I/O engine")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace to this directory")
+    # multi-host launch (one process per host; see parallel/distributed.py)
+    p.add_argument("--coordinator", default="",
+                   help="jax.distributed coordinator address host:port")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="total hosts in the multi-host run (default: 1)")
+    p.add_argument("--host-id", type=int, default=0,
+                   help="this host's index in [0, num-hosts)")
     return p
 
 
@@ -109,9 +116,30 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
     try:
         cfg.validate()
+        if not (0 <= args.host_id < args.num_hosts):
+            raise ValueError("--host-id must be in [0, num-hosts)")
     except ValueError as e:
         print(f"shark-tpu: {e}\naborting...", file=sys.stderr)
         return 1
+    if args.num_hosts > 1:
+        if not args.coordinator:
+            print(
+                "shark-tpu: --num-hosts > 1 requires --coordinator\naborting...",
+                file=sys.stderr,
+            )
+            return 1
+        from shark_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_hosts, args.host_id)
+        # per-host outputs; concatenate in host order afterwards
+        # (parallel/distributed.py merge_outputs)
+        cfg.finalize_outputs()
+        suffix = f".{args.host_id}"
+        cfg.out1_path += suffix
+        if cfg.out2_path:
+            cfg.out2_path += suffix
+        if cfg.ssv_path:
+            cfg.ssv_path += suffix
     from shark_tpu.pipeline import run_pipeline
 
     run_pipeline(cfg)

@@ -72,6 +72,19 @@ def test_missing_required_exits(capsys):
         build_parser().parse_args(["-r", "only_ref.fa"])
 
 
+def test_multihost_flag_validation(capsys):
+    from shark_tpu.cli import main
+
+    # bad host id
+    rc = main(BASE + ["--num-hosts", "2", "--host-id", "2"])
+    assert rc == 1
+    assert "host-id" in capsys.readouterr().err
+    # multi-host without coordinator
+    rc = main(BASE + ["--num-hosts", "2", "--host-id", "0"])
+    assert rc == 1
+    assert "coordinator" in capsys.readouterr().err
+
+
 def test_missing_input_file_fails_fast(tmp_path):
     from shark_tpu.pipeline import run_pipeline
 
