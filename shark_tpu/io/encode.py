@@ -10,7 +10,13 @@ Semantics mirror FastqSplitter (reference: FastqSplitter.hpp:47-113):
     is the same thing);
   - with min_quality q > 0, bases whose quality byte < q+33 are masked to
     invalid (the reference subtracts 64 from the base byte, :104-109, which
-    maps every ACGTacgt byte outside the alphabet);
+    maps every ACGTacgt byte outside the alphabet). Masking runs in FUSED
+    QUALITY coordinates: mask_seq masks seq[i] for i < len(qual) with the
+    fused qual = qual1 + '\\33' + qual2 (:84-90, 104-113). For FASTQ input
+    (qual length == seq length) this is per-base; for FASTA records kseq
+    yields an empty qual, so a single-end FASTA read masks nothing and a
+    paired FASTA read masks exactly fused position len(qual1) — quirks
+    preserved bit for bit;
   - the ORIGINAL seq/qual strings are preserved separately for FASTQ output.
 """
 
@@ -63,9 +69,6 @@ def encode_batch(
         seqs = [r[1] for r in recs]
         flat, rows, cols = _flatten(seqs)
         vals = BYTE_TO_CODE[flat]
-        if min_quality > 0:
-            qflat, _, _ = _flatten([r[2] for r in recs])
-            vals = np.where(qflat < min_quality + 33, INVALID, vals)
         cols = cols + col_off[rows]
         if cols.size and int(cols.max()) >= max_len:
             raise ValueError(
@@ -74,12 +77,36 @@ def encode_batch(
             )
         codes[rows, cols] = vals
 
+    def mask(quals: List[bytes], col_off: np.ndarray) -> None:
+        """Mask fused positions i (= qual coordinate + offset) with quality
+        below the cut — reference mask_seq, FastqSplitter.hpp:104-113."""
+        qflat, rows, cols = _flatten(quals)
+        low = qflat < min_quality + 33
+        r = rows[low]
+        c = (cols + col_off[rows])[low]
+        keep = c < max_len
+        codes[r[keep], c[keep]] = INVALID
+
     zero = np.zeros(n, dtype=np.int64)
     fill(recs1, zero)
     if recs2 is not None:
         # mate 2 starts after mate 1 plus one invalid separator column
         off2 = np.fromiter((len(r[1]) + 1 for r in recs1), np.int64, count=n)
         fill(recs2, off2)
+    if min_quality > 0:
+        mask([r[2] for r in recs1], zero)
+        if recs2 is not None:
+            # fused qual = qual1 + '\33' + qual2: the junction byte always
+            # masks (27 < 33 <= cut) at fused position len(qual1), and the
+            # mate-2 qual masks from len(qual1) + 1 — qual coordinates, NOT
+            # seq coordinates (they differ for FASTA records)
+            qoff2 = np.fromiter(
+                (len(r[2]) + 1 for r in recs1), np.int64, count=n
+            )
+            junction = qoff2 - 1
+            codes[np.arange(n)[junction < max_len],
+                  junction[junction < max_len]] = INVALID
+            mask([r[2] for r in recs2], qoff2)
 
     return ReadBatch(
         codes=codes,

@@ -101,6 +101,7 @@ def get_lib():
         lib.shk_n_reads_out.argtypes = [ctypes.c_void_p]
         lib.shk_error.restype = ctypes.c_char_p
         lib.shk_error.argtypes = [ctypes.c_void_p]
+        lib.shk_close.restype = ctypes.c_int
         lib.shk_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
@@ -209,6 +210,8 @@ class NativeStream:
             gene_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n,
         )
+        if rc == -2:
+            raise OSError(self._lib.shk_error(self._h).decode())
         if rc != 0:
             raise ValueError("emit failed (bad read/gene index)")
 
@@ -222,8 +225,12 @@ class NativeStream:
 
     def close(self) -> None:
         if self._h:
-            self._lib.shk_close(self._h)
+            rc = self._lib.shk_close(self._h)
             self._h = None
+            if rc != 0:
+                raise OSError(
+                    "output write error (disk full?): outputs are truncated"
+                )
 
     def __del__(self):
         try:

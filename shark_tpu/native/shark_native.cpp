@@ -80,19 +80,23 @@ class LineReader {
   int pos_ = 0, len_ = 0;
 };
 
-// kseq-style FASTQ record reader over LineReader.
-class FastqReader {
+// kseq-style record reader over LineReader: FASTA ('>') and FASTQ ('@')
+// records, possibly mixed per record (reference kseq.h:177-218). FASTA
+// records yield an empty qual.
+class FastxReader {
  public:
-  explicit FastqReader(const char* path) : lr_(path) {}
+  explicit FastxReader(const char* path) : lr_(path) {}
   bool ok() const { return lr_.ok(); }
 
-  bool next(Record& r) {
+  // 1 = record parsed, 0 = EOF, -1 = malformed input (never silently
+  // truncates: a bad record is an error, matching the Python parser).
+  int next(Record& r) {
     std::string line;
     if (!have_header_) {
       do {
-        if (!lr_.getline(line)) return false;
+        if (!lr_.getline(line)) return 0;
       } while (line.empty());
-      if (line[0] != '@') return false;
+      if (line[0] != '@' && line[0] != '>') return -1;
       header_ = line;
     }
     have_header_ = false;
@@ -100,17 +104,28 @@ class FastqReader {
     r.name.assign(header_, 1, (sp == std::string::npos ? header_.size() : sp) - 1);
     r.seq.clear();
     r.qual.clear();
-    // sequence lines until '+'
+    if (header_[0] == '>') {
+      // FASTA: sequence lines until the next header or EOF
+      while (lr_.getline(line)) {
+        if (!line.empty() && (line[0] == '>' || line[0] == '@')) {
+          header_ = line;
+          have_header_ = true;
+          break;
+        }
+        r.seq += line;
+      }
+      return 1;
+    }
+    // FASTQ: sequence lines until '+', quality until length matches
     while (lr_.getline(line)) {
       if (!line.empty() && line[0] == '+') {
-        // quality lines until length matches
         while (r.qual.size() < r.seq.size() && lr_.getline(line))
           r.qual += line;
-        return r.qual.size() == r.seq.size();
+        return r.qual.size() == r.seq.size() ? 1 : -1;
       }
       r.seq += line;
     }
-    return false;
+    return -1;  // header without a '+' line: malformed
   }
 
  private:
@@ -172,6 +187,7 @@ constexpr int kRing = 20;
 struct OutFile {
   FILE* f = nullptr;
   gzFile gz = nullptr;
+  bool werr = false;  // latched write failure (disk full, I/O error)
   bool open_path(const char* path) {
     size_t n = strlen(path);
     if (n > 3 && strcmp(path + n - 3, ".gz") == 0) {
@@ -183,23 +199,31 @@ struct OutFile {
   }
   bool is_open() const { return f || gz; }
   void write(const char* d, size_t n) {
-    if (gz)
-      gzwrite(gz, d, (unsigned)n);
-    else
-      fwrite(d, 1, n, f);
+    if (gz) {
+      if (gzwrite(gz, d, (unsigned)n) != (int)n) werr = true;
+    } else {
+      if (fwrite(d, 1, n, f) != n) werr = true;
+    }
   }
   void put(char c) { write(&c, 1); }
-  void close() {
-    if (gz) gzclose(gz);
-    if (f) fclose(f);
+  // Returns false if any write (or the close itself) failed.
+  bool close() {
+    bool ok = !werr;
+    if (gz && gzclose(gz) != Z_OK) ok = false;
+    if (f) {
+      if (ferror(f)) ok = false;
+      if (fclose(f) != 0) ok = false;
+    }
     gz = nullptr;
     f = nullptr;
+    werr = !ok;
+    return ok;
   }
 };
 
 struct Stream {
-  FastqReader* f1 = nullptr;
-  FastqReader* f2 = nullptr;
+  FastxReader* f1 = nullptr;
+  FastxReader* f2 = nullptr;
   int batch_size = 0, max_len = 0, min_quality = 0;
   bool paired = false;
   bool pack_mode = false;
@@ -221,8 +245,8 @@ struct Stream {
   std::string err;
 };
 
-void encode_into(const Record& r, int min_quality, uint8_t* dst, int cap,
-                 int off, bool* overflow) {
+void encode_into(const Record& r, uint8_t* dst, int cap, int off,
+                 bool* overflow) {
   int n = (int)r.seq.size();
   if (off + n > cap) {
     *overflow = true;
@@ -231,12 +255,28 @@ void encode_into(const Record& r, int min_quality, uint8_t* dst, int cap,
   }
   const char* s = r.seq.data();
   for (int i = 0; i < n; i++) dst[off + i] = CODE[(uint8_t)s[i]];
-  if (min_quality > 0) {
-    const char* q = r.qual.data();
-    char cut = (char)(min_quality + 33);
-    for (int i = 0; i < n; i++)
-      if (q[i] < cut) dst[off + i] = 4;
-  }
+}
+
+// Quality masking in FUSED QUAL coordinates (reference mask_seq,
+// FastqSplitter.hpp:84-90, 104-113): position i of the fused read is masked
+// iff i < len(fused qual) and fused_qual[i] < cut, where fused qual =
+// qual1 (+ '\33' + qual2 for pairs). For FASTQ input qual length equals seq
+// length so this is per-base; FASTA records have empty qual (no masking for
+// single-end; pairs mask exactly fused position len(qual1)).
+void mask_row(const Record& r1, const Record* r2, int min_quality,
+              uint8_t* dst, int cap) {
+  char cut = (char)(min_quality + 33);
+  int n1 = (int)std::min((size_t)cap, r1.qual.size());
+  const char* q1 = r1.qual.data();
+  for (int i = 0; i < n1; i++)
+    if (q1[i] < cut) dst[i] = 4;
+  if (!r2) return;
+  int j = (int)r1.qual.size();  // fused junction byte '\33' always < cut
+  if (j < cap) dst[j] = 4;
+  const char* q2 = r2->qual.data();
+  int n2 = (int)r2->qual.size();
+  for (int i = 0; i < n2 && j + 1 + i < cap; i++)
+    if (q2[i] < cut) dst[j + 1 + i] = 4;
 }
 
 // codes row -> 2-bit packed row + validity bitmask row, PLANAR layout:
@@ -265,17 +305,26 @@ int fill_batch(Stream* s, Batch& b) {
   b.codes.assign((size_t)s->batch_size * row_bytes, 4);
   bool overflow = false;
   int n = 0;
+  int rc1 = 0, rc2 = 0;
   while (n < s->batch_size) {
-    if (!s->f1->next(b.r1[n])) break;
-    if (s->paired && !s->f2->next(b.r2[n])) break;  // reference stops when
-                                                    // either file ends
+    if ((rc1 = s->f1->next(b.r1[n])) <= 0) break;
+    if (s->paired && (rc2 = s->f2->next(b.r2[n])) <= 0)
+      break;  // reference stops when either file ends
     uint8_t* row = b.codes.data() + (size_t)n * row_bytes;
-    encode_into(b.r1[n], s->min_quality, row, s->max_len, 0, &overflow);
+    encode_into(b.r1[n], row, s->max_len, 0, &overflow);
     if (s->paired) {
       int off = (int)b.r1[n].seq.size() + 1;  // invalid separator column
-      encode_into(b.r2[n], s->min_quality, row, s->max_len, off, &overflow);
+      encode_into(b.r2[n], row, s->max_len, off, &overflow);
     }
+    if (s->min_quality > 0)
+      mask_row(b.r1[n], s->paired ? &b.r2[n] : nullptr, s->min_quality, row,
+               s->max_len);
     n++;
+  }
+  if (rc1 < 0 || rc2 < 0) {
+    s->err = "malformed FASTA/FASTQ record";
+    b.n = -1;
+    return -1;
   }
   if (overflow) {
     s->err = "read longer than max_len";
@@ -332,14 +381,14 @@ void* shk_open(const char* fq1, const char* fq2, int batch_size, int max_len,
   s->max_len = max_len;
   s->min_quality = min_quality;
   s->pack_mode = pack_mode != 0;
-  s->f1 = new FastqReader(fq1);
+  s->f1 = new FastxReader(fq1);
   if (!s->f1->ok()) {
     delete s->f1;
     delete s;
     return nullptr;
   }
   if (fq2 && fq2[0]) {
-    s->f2 = new FastqReader(fq2);
+    s->f2 = new FastxReader(fq2);
     if (!s->f2->ok()) {
       delete s->f1;
       delete s->f2;
@@ -460,6 +509,12 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
     }
   }
   shk_release(h, slot);
+  // Surface write failures (disk full, I/O error) instead of reporting a
+  // truncated run as success: -2 distinguishes them from bad indices (-1).
+  if (ferror(s->ssv) || s->out1.werr || s->out2.werr) {
+    s->err = "output write error";
+    return -2;
+  }
   return 0;
 }
 
@@ -468,7 +523,9 @@ long shk_n_reads_out(void* h) { return ((Stream*)h)->n_reads_out; }
 
 const char* shk_error(void* h) { return ((Stream*)h)->err.c_str(); }
 
-void shk_close(void* h) {
+// Returns 0 on success, -1 if any output write/close failed (so callers
+// never report a truncated run as success).
+int shk_close(void* h) {
   Stream* s = (Stream*)h;
   {
     std::unique_lock<std::mutex> lk(s->mu);
@@ -476,12 +533,17 @@ void shk_close(void* h) {
     s->cv_free.notify_all();
   }
   if (s->producer.joinable()) s->producer.join();
-  if (s->ssv) fclose(s->ssv);
-  s->out1.close();
-  s->out2.close();
+  int rc = 0;
+  if (s->ssv) {
+    if (ferror(s->ssv)) rc = -1;
+    if (fclose(s->ssv) != 0) rc = -1;
+  }
+  if (!s->out1.close()) rc = -1;
+  if (!s->out2.close()) rc = -1;
   delete s->f1;
   delete s->f2;
   delete s;
+  return rc;
 }
 
 }  // extern "C"
@@ -587,6 +649,12 @@ void* shk_build(const char* fasta_path, int k, uint64_t size_bits) {
     r->word_rank[w] = (uint32_t)acc;
     acc += __builtin_popcount(r->bf_words[w]);
   }
+  if (acc > 0xFFFFFFFFULL) {
+    // uint32 rank capacity (matches the Python builder's guard,
+    // index/build.py): a dense multi-GiB filter can exceed 2^32 set bits
+    r->err = "rank overflow: more than 2^32 set bits";
+    return r;
+  }
   r->offsets.reserve(acc + 1);
   r->offsets.push_back(0);
   r->gene_ids.reserve(pairs.size());
@@ -598,6 +666,10 @@ void* shk_build(const char* fasta_path, int k, uint64_t size_bits) {
     prev = pg.first;
   }
   if (!pairs.empty()) r->offsets.push_back((int32_t)r->gene_ids.size());
+  if (r->gene_ids.size() > 0x7FFFFFFFULL) {
+    r->err = "association overflow: more than 2^31 (position, gene) pairs";
+    return r;
+  }
   return r;
 }
 

@@ -103,12 +103,26 @@ def test_native_gzip(tmp_path, example_dir):
 
     raw = (example_dir / "sample_1.fq").read_bytes()
     gz = tmp_path / "s.fq.gz"
-    gz.write_bytes(gzip.compress(raw[: 4 * 400]))  # first 400 lines worth
+    head = b"".join(raw.splitlines(keepends=True)[:400])  # 100 records
+    gz.write_bytes(gzip.compress(head))
     ns = native.NativeStream(str(gz), "", 1024, 256, 0)
     got = 0
     while (nb := ns.next_batch()) is not None:
         got += nb[2]
-    assert got > 0
+    assert got == 100
+    ns.close()
+
+
+def test_native_malformed_record_raises(tmp_path, example_dir):
+    """A record truncated mid-qual must surface as an error, not silent
+    EOF (the Python parser raises for the same input)."""
+    raw = (example_dir / "sample_1.fq").read_bytes()
+    bad = tmp_path / "bad.fq"
+    bad.write_bytes(raw[: 4 * 400])  # cuts inside a record
+    ns = native.NativeStream(str(bad), "", 1024, 256, 0)
+    with pytest.raises(ValueError, match="malformed"):
+        while ns.next_batch() is not None:
+            pass
     ns.close()
 
 

@@ -66,7 +66,8 @@ def test_native_parser_matches_python(tmp_path, multiline, crlf, gz):
 
 
 def test_native_parser_truncated_gzip(tmp_path):
-    """Corrupt gzip must terminate cleanly (no crash / OOB read)."""
+    """Corrupt gzip must terminate cleanly (no crash / OOB read): either a
+    clean stop at a record boundary or a malformed-record error."""
     rng = np.random.default_rng(3)
     data, _ = _mk_fastq(rng, 200)
     blob = gzip.compress(data)
@@ -74,11 +75,103 @@ def test_native_parser_truncated_gzip(tmp_path):
     path.write_bytes(blob[: len(blob) // 2])
     ns = native.NativeStream(str(path), "", 64, 256, 0)
     total = 0
-    while (nb := ns.next_batch()) is not None:
-        total += nb[2]
-        ns.release(nb[1])
+    try:
+        while (nb := ns.next_batch()) is not None:
+            total += nb[2]
+            ns.release(nb[1])
+    except ValueError as e:
+        assert "malformed" in str(e)
     ns.close()
     assert total <= 200  # parsed some prefix, no crash
+
+
+def _mk_fastx(rng, n_reads, crlf=False, fasta_frac=0.5):
+    """Mixed FASTA/FASTQ sample records, kseq-style (FASTA ones have no
+    qual and may span lines)."""
+    eol = b"\r\n" if crlf else b"\n"
+    out = []
+    kinds = []
+    for i in range(n_reads):
+        ln = int(rng.integers(1, 180))
+        seq = rng.choice(
+            np.frombuffer(b"ACGTNacgtn", np.uint8), size=ln
+        ).tobytes()
+        name = f"rec{i} comment".encode()
+        if rng.random() < fasta_frac:
+            kinds.append("fasta")
+            out.append(b">" + name + eol)
+            if ln > 20:
+                cut = ln // 3
+                out.append(seq[:cut] + eol + seq[cut:] + eol)
+            else:
+                out.append(seq + eol)
+        else:
+            kinds.append("fastq")
+            qual = rng.integers(33, 74, size=ln, dtype=np.uint8).tobytes()
+            out.append(b"@" + name + eol)
+            out.append(seq + eol + b"+" + eol + qual + eol)
+    return b"".join(out), kinds
+
+
+@pytest.mark.parametrize("gz", [False, True])
+@pytest.mark.parametrize("minq", [0, 20])
+def test_fasta_sample_native_matches_python(tmp_path, gz, minq):
+    """FASTA (and mixed FASTA/FASTQ) sample records parse identically in
+    the native and Python paths — kseq parity (reference kseq.h:177-218:
+    FastqSplitter runs on kseq, which accepts either format; FASTA
+    records carry an empty qual so q>0 masks nothing on single-end)."""
+    rng = np.random.default_rng(99 + gz + minq)
+    data, kinds = _mk_fastx(rng, 143, fasta_frac=0.6)
+    path = tmp_path / ("m.fq.gz" if gz else "m.fq")
+    path.write_bytes(gzip.compress(data) if gz else data)
+
+    py_recs = list(read_fastq(str(path)))
+    assert len(py_recs) == 143
+    assert any(q == b"" for _, _, q in py_recs)  # FASTA records present
+
+    B, L = 64, 256
+    ns = native.NativeStream(str(path), "", B, L, minq)
+    it = iter(py_recs)
+    total = 0
+    while (nb := ns.next_batch()) is not None:
+        codes, slot, n = nb
+        recs = [next(it) for _ in range(n)]
+        ref = encode_batch(recs, None, minq, B, L)
+        np.testing.assert_array_equal(codes[:n], ref.codes[:n])
+        total += n
+        ns.release(slot)
+    assert total == 143
+    ns.close()
+
+
+def test_paired_fasta_fused_qual_quirk(tmp_path):
+    """Reference quirk (FastqSplitter.hpp:84-90): pairs mask over the FUSED
+    qual = qual1 + '\\33' + qual2 in qual coordinates. With FASTA mate 1
+    (empty qual) and q>0, fused position 0 is the junction byte and mate-2
+    qualities mask positions 1..len(q2) — i.e. INSIDE seq1."""
+    f1 = tmp_path / "m1.fa"
+    f2 = tmp_path / "m2.fq"
+    f1.write_bytes(b">p1\nACGTACGT\n")
+    f2.write_bytes(b"@p1\nGGGG\n+\nI!II\n")  # '!' = low qual at q2[1]
+    py = encode_batch(
+        [("p1", b"ACGTACGT", b"")],
+        [("p1", b"GGGG", b"I!II")],
+        10,
+        4,
+        32,
+    )
+    # fused seq coords: ACGTACGT . GGGG ; fused qual = "" + '\33' + "I!II"
+    # masks fused positions 0 (junction byte) and 2 (the '!')
+    want = np.full(32, 4, dtype=np.uint8)
+    want[:8] = [4, 1, 4, 3, 0, 1, 2, 3]  # A,G masked at 0 and 2
+    want[9:13] = 2  # GGGG after the separator column
+    np.testing.assert_array_equal(py.codes[0], want)
+
+    ns = native.NativeStream(str(f1), str(f2), 4, 32, 10)
+    codes, slot, n = ns.next_batch()
+    assert n == 1
+    np.testing.assert_array_equal(codes[0], want)
+    ns.close()
 
 
 def test_native_parser_empty_file(tmp_path):
