@@ -133,13 +133,14 @@ def main(argv=None) -> int:
         initialize(args.coordinator, args.num_hosts, args.host_id)
         # per-host outputs; concatenate in host order afterwards
         # (parallel/distributed.py merge_outputs)
+        from shark_tpu.parallel.distributed import host_suffixed
+
         cfg.finalize_outputs()
-        suffix = f".{args.host_id}"
-        cfg.out1_path += suffix
+        cfg.out1_path = host_suffixed(cfg.out1_path, args.host_id)
         if cfg.out2_path:
-            cfg.out2_path += suffix
+            cfg.out2_path = host_suffixed(cfg.out2_path, args.host_id)
         if cfg.ssv_path:
-            cfg.ssv_path += suffix
+            cfg.ssv_path = host_suffixed(cfg.ssv_path, args.host_id)
     from shark_tpu.pipeline import run_pipeline
 
     run_pipeline(cfg)

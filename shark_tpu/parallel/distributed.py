@@ -30,6 +30,15 @@ from typing import List, Optional, Sequence, Tuple
 FilePair = Tuple[str, str]
 
 
+def host_suffixed(path: str, part: int | str) -> str:
+    """Insert a per-host/per-part suffix BEFORE a trailing '.gz' so the
+    gzip-by-extension detection in both output engines still fires
+    ('x.fq.gz' -> 'x.fq.0.gz', 'x.fq' -> 'x.fq.0')."""
+    if path.endswith(".gz"):
+        return f"{path[:-3]}.{part}.gz"
+    return f"{path}.{part}"
+
+
 def initialize(
     coordinator_address: str,
     num_processes: int,

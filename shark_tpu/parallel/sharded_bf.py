@@ -53,6 +53,13 @@ def shard_index(index: SharkIndex, n: int):
     if n_words % n != 0:
         raise ValueError(f"{n_words} bloom words not divisible by {n} shards")
     wps = n_words // n
+    if wps > 0x7FFFFFFF:
+        # int32 local gather addressing; an 8 GiB bit-vector per shard is
+        # past per-chip HBM anyway — add devices instead
+        raise ValueError(
+            f"{wps} bloom words per shard exceeds int32 addressing; "
+            "use more devices"
+        )
     deg_all = np.diff(index.offsets).astype(np.int64)
     D = (
         1 << int(np.ceil(np.log2(max(1, index.max_degree))))
@@ -135,27 +142,34 @@ def _route_probe_return(
     ok = s_valid & (slot < cap)
     overflow = jnp.sum((s_valid & (slot >= cap)).astype(jnp.int32))
 
-    # pack (local_bit_addr) per owner bucket; sentinel marks empty slots
+    # pack (local word, bit) per owner bucket in TWO uint32 lanes — a
+    # single (word<<5)|bit lane would collide with the sentinel or wrap
+    # once a shard covers >= 2^27 bloom words (wps*32 >= 2^32), silently
+    # corrupting output in exactly the bigger-than-HBM regime this mode
+    # targets. The word lane's sentinel is safe: local words are < wps,
+    # and shard_index rejects wps >= 2^32 - 1.
     g_word = jnp.take(flat_word, s_pos)
     g_bit = jnp.take(flat_bit, s_pos)
     g_valid = jnp.take(flat_valid, s_pos)
-    local_addr = (
-        ((g_word - s_owner * wps).astype(jnp.uint32) << 5) | g_bit
+    local_word = (g_word - s_owner * wps).astype(jnp.uint32)
+    send = jnp.full((n, cap, 2), MISS_SENTINEL, dtype=jnp.uint32)
+    payload = jnp.stack(
+        [
+            jnp.where(ok & g_valid, local_word, MISS_SENTINEL),
+            g_bit,
+        ],
+        axis=-1,
     )
-    send = jnp.full((n, cap), MISS_SENTINEL, dtype=jnp.uint32)
-    send = send.at[s_owner, slot].set(
-        jnp.where(ok & g_valid, local_addr, MISS_SENTINEL), mode="drop"
-    )
+    send = send.at[s_owner, slot].set(payload, mode="drop")
 
     # route to owners
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
-    recv = recv.reshape(n, cap)
+    recv = recv.reshape(n, cap, 2)
 
     # owner-side probe of the local shard
-    r_word = (recv >> 5).astype(jnp.int32)
-    r_bit = recv & 31
-    r_valid = recv != MISS_SENTINEL
-    r_word = jnp.where(r_valid, r_word, 0)
+    r_valid = recv[..., 0] != MISS_SENTINEL
+    r_word = jnp.where(r_valid, recv[..., 0], 0).astype(jnp.int32)
+    r_bit = recv[..., 1] & 31  # keep shift amounts defined on empty slots
     gm_r, hit_r = probe_local(dix_shard, r_word, r_bit, r_valid)
     reply = jnp.where(
         hit_r[..., None], gm_r, jnp.uint16(0)

@@ -159,8 +159,34 @@ def _winner_pairs(
     overflow = (nw > max_winners) | (nw == sat) | dev_ovf[rows]
     if not np.any(overflow) and not np.any(nw > 1):
         return rows.astype(np.int32), winner0[rows].astype(np.int32)
-    winners = np.asarray(winners_dev)
+    winners = None
     if not np.any(overflow):
+        B = int(packed_dev.shape[0])
+        if not cfg.single and B <= 65536:
+            # fetch only the compacted extra-winner pairs (4 bytes per
+            # extra association) instead of the whole [B, W] matrix
+            from shark_tpu.classify.step import (
+                PAIR_SENTINEL,
+                extract_extra_pairs,
+            )
+
+            pairs = np.asarray(extract_extra_pairs(packed_dev, winners_dev))
+            if pairs.size == 0 or pairs[-1] == PAIR_SENTINEL:
+                pairs = pairs[pairs != PAIR_SENTINEL]
+                prow = (pairs >> 16).astype(np.int64)
+                keep = prow < n  # drop padding-row artifacts (none expected)
+                prow = prow[keep]
+                pgene = (pairs[keep] & 0xFFFF).astype(np.int32)
+                r_idx = np.concatenate([rows, prow])
+                g_idx = np.concatenate([winner0[rows], pgene])
+                order = np.lexsort((g_idx, r_idx))
+                return (
+                    r_idx[order].astype(np.int32),
+                    g_idx[order].astype(np.int32),
+                )
+            # truncated pair stream (extraordinarily tie-heavy batch):
+            # fall through to the full winner fetch
+        winners = np.asarray(winners_dev)
         W = winners.shape[1]
         counts = np.minimum(nw, W)
         gmat = winners[rows]
@@ -168,6 +194,7 @@ def _winner_pairs(
         r_idx = np.repeat(rows, counts)
         g_idx = gmat[mask]
         return r_idx.astype(np.int32), g_idx.astype(np.int32)
+    winners = np.asarray(winners_dev)
     # rare: a read tied across more genes than the device compaction width;
     # recompute those rows with the host oracle
     from shark_tpu.classify.oracle import classify_read

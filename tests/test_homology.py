@@ -69,6 +69,45 @@ def test_homolog_ties_match_oracle(homolog_workload):
     assert n_multi > 10  # the workload must actually produce ties
 
 
+def test_extra_pair_stream_and_fallback(homolog_workload):
+    """The compacted extra-winner pair fetch (pipeline._winner_pairs fast
+    path) and its truncation fallback must both reproduce the oracle's
+    association list exactly."""
+    from shark_tpu.classify.step import PAIR_SENTINEL, extract_extra_pairs
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import _winner_pairs
+
+    index, oracle, reads = homolog_workload
+    # core-only reads -> every emitted read ties across the whole family
+    rng = np.random.default_rng(7)
+    core_reads = []
+    for _ in range(16):
+        idx = int(rng.integers(0, len(reads)))
+        core_reads.append(reads[idx])
+    L = 128
+    codes = np.full((len(core_reads), L), 4, dtype=np.uint8)
+    for i, r in enumerate(core_reads):
+        codes[i, : len(r)] = encode_bytes(r)
+    clf = Classifier(index, max_winners=8, c=0.6)
+    result = clf(codes)
+
+    # the device pair stream is sentinel-padded to B+1 when it fits
+    pairs = np.asarray(extract_extra_pairs(result[0], result[1]))
+    assert pairs.shape[0] == len(core_reads) + 1
+
+    cfg = SharkConfig(fasta_path="x", sample1_path="y")
+    ri, gi = _winner_pairs(cfg, index, result, len(core_reads), codes, 8)
+    want_r, want_g = [], []
+    for i, r in enumerate(core_reads):
+        wins, _, _ = classify_read(oracle, encode_bytes(r), 0.6, False)
+        want_r.extend([i] * len(wins))
+        want_g.extend(wins)
+    assert ri.tolist() == want_r
+    assert gi.tolist() == want_g
+    # this workload must actually have ties (extras in the stream)
+    assert int((pairs != PAIR_SENTINEL).sum()) > 0
+
+
 def test_single_mode_suppresses_ties(homolog_workload):
     """--single must emit only unique-winner reads (ReadAnalyzer.hpp:105)."""
     import io
