@@ -161,80 +161,17 @@ class DeviceIndex(NamedTuple):
 
     A probe costs at most TWO random gathers (the dominant device cost —
     the compute around them is effectively free on the VPU):
-      bf_rank[w]  : (bloom word, exclusive rank, aux) in one 16-byte row
+      bf_rank[w]  : (bloom word, exclusive rank) in one 8-byte row
       gene_mat[r] : (degree, gene_0, ..., gene_{D-1}) one 2(D+1)-byte row
     versus the reference's bit-vector + rank + select + flattened-set walk
     (bloomfilter.h:78-102), which costs 6+ dependent memory touches.
 
-    See FastDeviceIndex for the single-gather layout the Classifier
-    prefers on low-collision indexes.
+    (A single-gather layout was measured ~30% SLOWER on v5e — the negative
+    result and its runnable kernel live in bench/fast_kernel.py.)
     """
 
     bf_rank: jnp.ndarray  # uint32[n_words, 2]: word, rank
     gene_mat: jnp.ndarray  # uint16[max(n_set,1), D+1]
-
-
-class FastDeviceIndex(NamedTuple):
-    """8-byte-row layout for the single-gather kernel.
-
-    rows[w] = (aux, rank): aux packs the word's state —
-      state 0: word empty (every probe of it misses)
-      state 1: single set bit, one gene  -> aux also has bitpos + gene id
-      state 2: single set bit, >1 genes  -> aux has bitpos; rank addresses
-               gene_mat directly
-      state 3: >=2 set bits              -> rare; the compacted second pass
-               fetches the word itself from `words` to resolve hit + rank
-    Halves probe-table memory vs the 16-byte aux layout and keeps the
-    hot path at one 8-byte random gather per window.
-    """
-
-    rows: jnp.ndarray  # uint32[n_words, 2]: aux, rank
-    words: jnp.ndarray  # uint32[n_words] (state-3 fallback only)
-    gene_mat: jnp.ndarray  # uint16[max(n_set,1), D+1]
-
-
-FAST_GENE_MASK = 0xFFFF
-FAST_BITPOS_SHIFT = 16
-FAST_STATE_SHIFT = 21
-
-
-def build_fast_index(
-    index: SharkIndex,
-) -> Tuple[np.ndarray, np.ndarray, float]:
-    """Host-side FastDeviceIndex rows (+ the needy fraction for kernel
-    selection). gene_mat comes from build_device_index."""
-    from shark_tpu.index.build import popcount_u32
-
-    words = index.bf_words
-    n_words = words.size
-    pc = popcount_u32(words)
-    deg = np.diff(index.offsets).astype(np.int64)
-    aux = np.zeros(n_words, dtype=np.uint32)
-    one = np.flatnonzero(pc == 1)
-    multi = np.flatnonzero(pc >= 2)
-    if one.size:
-        bitpos = popcount_u32(words[one] - np.uint32(1)).astype(np.uint32)
-        r = index.word_rank[one].astype(np.int64)
-        d1 = deg[r] == 1
-        gene = np.zeros(one.size, dtype=np.uint32)
-        gene[d1] = index.gene_ids[
-            index.offsets[:-1].astype(np.int64)[r[d1]]
-        ].astype(np.uint32)
-        state = np.where(d1, np.uint32(1), np.uint32(2))
-        aux[one] = (
-            gene
-            | (bitpos << FAST_BITPOS_SHIFT)
-            | (state << FAST_STATE_SHIFT)
-        )
-    if multi.size:
-        aux[multi] = np.uint32(3) << FAST_STATE_SHIFT
-    rows = np.empty((n_words, 2), dtype=np.uint32)
-    rows[:, 0] = aux
-    rows[:, 1] = index.word_rank
-    n_set = max(1, index.n_set_bits)
-    n_fast = int(np.count_nonzero((aux >> FAST_STATE_SHIFT) == 1))
-    needy_frac = 1.0 - n_fast / n_set
-    return rows, words.copy(), needy_frac
 
 
 def build_gene_mat(index: SharkIndex) -> np.ndarray:
@@ -427,111 +364,6 @@ def classify_kernel(
     )
 
 
-def classify_kernel_fast(
-    dix: FastDeviceIndex,
-    thresh: jnp.ndarray,
-    codes: jnp.ndarray,  # uint8[B, L]
-    *,
-    meta: StaticMeta,
-    max_winners: int,
-    cap2: int = 32,
-):
-    """Single-gather classify: unique-k-mer hits resolve from the 8-byte
-    (aux, rank) row alone; only shared-gene or multi-bit-word probes
-    (compacted to <= cap2 per read) pay further gathers. Reads with more
-    than cap2 such probes get the PACK_OVF flag and are recomputed exactly
-    on the host (rare by construction — the Classifier picks this kernel
-    only when the index's needy fraction is small)."""
-    B, L = codes.shape
-    D = meta.degree
-    G = meta.n_genes
-    pos_bits = meta.pos_bits
-
-    length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
-    word_idx, bit_off, win_valid = hash_positions(codes, meta)
-    Ls = word_idx.shape[1]
-    off = L - Ls
-
-    row = jnp.take(dix.rows, word_idx, axis=0)  # [B, Ls, 2], one 8B row
-    aux = row[..., 0]
-    rank0 = row[..., 1]
-    state = (aux >> FAST_STATE_SHIFT) & 3
-    bitpos = (aux >> FAST_BITPOS_SHIFT) & 31
-    bitmatch = (bit_off == bitpos) & win_valid
-    fast = (state == 1) & bitmatch
-    needy = (((state == 2) & bitmatch) | ((state == 3) & win_valid))
-
-    pos_i32 = jnp.broadcast_to(
-        (jnp.arange(Ls, dtype=jnp.int32) + off)[None, :], (B, Ls)
-    )
-    sentinel = jnp.uint32(G << pos_bits)
-
-    # compact needy probes to the first cap2 per read
-    need_pos = jnp.where(needy, pos_i32, L)
-    sneed = jnp.sort(need_pos, axis=1)[:, :cap2]  # [B, cap2]
-    svalid = sneed < L
-    row_ovf = jnp.sum(needy.astype(jnp.int32), axis=1) > cap2
-    sneed_c = jnp.minimum(sneed, L - 1)
-    scol = jnp.maximum(sneed_c - off, 0)  # column index into [B, Ls] arrays
-
-    # per-slot resolution: state 2 -> rank row is the gene row; state 3 ->
-    # fetch the word to compute hit + bit rank
-    word2 = jnp.take_along_axis(word_idx, scol, axis=1)  # [B, cap2]
-    state2 = jnp.take_along_axis(state, scol, axis=1)
-    rank2 = jnp.take_along_axis(rank0, scol, axis=1)
-    boff2 = jnp.take_along_axis(bit_off, scol, axis=1)
-    w2 = jnp.take(dix.words, jnp.where(svalid, word2, 0), axis=0)
-    multi = state2 == 3
-    hit2 = svalid & jnp.where(multi, ((w2 >> boff2) & 1) == 1, True)
-    low_mask2 = (jnp.uint32(1) << boff2) - 1
-    r2 = jnp.where(
-        multi,
-        rank2 + jax.lax.population_count(w2 & low_mask2),
-        rank2,
-    ).astype(jnp.int32)
-    gm2 = jnp.take(dix.gene_mat, jnp.where(hit2, r2, 0), axis=0)
-    deg2 = jnp.where(hit2, gm2[..., 0].astype(jnp.int32), 0)
-
-    fast_key = jnp.where(
-        fast,
-        ((aux & jnp.uint32(FAST_GENE_MASK)) << pos_bits)
-        | pos_i32.astype(jnp.uint32),
-        sentinel,
-    )
-    keys = [fast_key]
-    for d in range(D):
-        g = gm2[..., 1 + d].astype(jnp.uint32)
-        key = (g << pos_bits) | sneed_c.astype(jnp.uint32)
-        keys.append(jnp.where(hit2 & (d < deg2), key, sentinel))
-    key_mat = jnp.concatenate(keys, axis=1)  # [B, L + cap2*D]
-
-    return finish_from_keys(
-        key_mat,
-        length,
-        thresh,
-        row_ovf,
-        meta=meta,
-        max_winners=max_winners,
-        L=L,
-    )
-
-
-def classify_kernel_fast_packed(
-    dix: FastDeviceIndex,
-    thresh: jnp.ndarray,
-    packed: jnp.ndarray,
-    vmask: jnp.ndarray,
-    *,
-    meta: StaticMeta,
-    max_winners: int,
-    cap2: int = 32,
-):
-    codes = unpack_codes(packed, vmask)
-    return classify_kernel_fast(
-        dix, thresh, codes, meta=meta, max_winners=max_winners, cap2=cap2
-    )
-
-
 def unpack_codes(packed: jnp.ndarray, vmask: jnp.ndarray) -> jnp.ndarray:
     """(2-bit codes u8[B, L/4], validity bits u8[B, L/8]) -> byte codes
     u8[B, L]. The packed form cuts host->device transfer 2.7x — transfer,
@@ -569,16 +401,11 @@ def classify_kernel_packed(
 
 class Classifier:
     """Holds the device-resident index and a cache of jitted kernels keyed by
-    padded batch geometry."""
+    padded batch geometry.
 
-    # Measured on v5e (bench/profile_kernel.py): the classic two-gather
-    # kernel beats the single-gather "fast" kernel in BOTH miss-heavy and
-    # hit-heavy regimes — the expensive gather is the GiB-scale bf_rank
-    # table (identical in both), the gene_mat table is small enough to
-    # cache, and the fast path's compaction sort + index shuffles cost
-    # more than the gather they avoid. The fast kernel is therefore
-    # opt-in (fast=True) pending a hardware generation where it wins.
-    FAST_NEEDY_FRAC = -1.0  # auto never selects fast
+    (Kernel-selection history: a single-gather "fast" layout measured ~30%
+    slower on v5e in both miss- and hit-heavy regimes — see
+    bench/fast_kernel.py and docs/PERF.md for the negative result.)"""
 
     def __init__(
         self,
@@ -586,37 +413,17 @@ class Classifier:
         max_winners: int = 16,
         c: float = 0.6,
         device=None,
-        fast: bool | None = None,
-        cap2: int = 32,
     ):
         self.index = index
         self.max_winners = max_winners
         self.c = c
-        self.cap2 = cap2
         dev = device or jax.devices()[0]
         self._dev = dev
-        gene_mat = build_gene_mat(index)
-        if fast is None:
-            if self.FAST_NEEDY_FRAC < 0:
-                fast = False
-            else:
-                _, _, needy_frac = build_fast_index(index)
-                fast = needy_frac <= self.FAST_NEEDY_FRAC
-        if fast:
-            rows, words, _ = build_fast_index(index)
-        self.fast = bool(fast)
-        if self.fast:
-            self.dix = FastDeviceIndex(
-                rows=jax.device_put(rows, dev),
-                words=jax.device_put(words, dev),
-                gene_mat=jax.device_put(gene_mat, dev),
-            )
-        else:
-            bf_rank, _ = build_device_index(index)
-            self.dix = DeviceIndex(
-                bf_rank=jax.device_put(bf_rank, dev),
-                gene_mat=jax.device_put(gene_mat, dev),
-            )
+        bf_rank, gene_mat = build_device_index(index)
+        self.dix = DeviceIndex(
+            bf_rank=jax.device_put(bf_rank, dev),
+            gene_mat=jax.device_put(gene_mat, dev),
+        )
         self._fns = {}
         self._thresh = {}
 
@@ -625,24 +432,12 @@ class Classifier:
         fn = self._fns.get(key)
         if fn is None:
             meta = StaticMeta.for_index(self.index, L)
-            if self.fast:
-                kern = (
-                    classify_kernel_fast_packed
-                    if packed
-                    else classify_kernel_fast
-                )
-                part = functools.partial(
-                    kern,
-                    meta=meta,
-                    max_winners=self.max_winners,
-                    cap2=self.cap2,
-                )
-            else:
-                kern = classify_kernel_packed if packed else classify_kernel
-                part = functools.partial(
+            kern = classify_kernel_packed if packed else classify_kernel
+            fn = jax.jit(
+                functools.partial(
                     kern, meta=meta, max_winners=self.max_winners
                 )
-            fn = jax.jit(part)
+            )
             self._fns[key] = fn
             if L not in self._thresh:
                 self._thresh[L] = jax.device_put(

@@ -477,6 +477,7 @@ def _run_pipeline_inner(cfg: SharkConfig, ssv_stream, timer: PhaseTimer) -> dict
         ssv_stream or own_ssv or sys.stdout, cfg.out1_path, cfg.out2_path
     )
 
+    warmed = False
     if cfg.max_read_len:
         # Known geometry: pay the jit compile (and, on tunneled TPU
         # setups, the one-time session spin-up) before the timed stream.
@@ -485,12 +486,21 @@ def _run_pipeline_inner(cfg: SharkConfig, ssv_stream, timer: PhaseTimer) -> dict
         )
         np.asarray(classifier(warm)[0])
         timer.mark("Device warmup")
+        warmed = True
     warm_s = timer.elapsed()
 
     n_reads = 0
     pending: List[Tuple[ReadBatch, tuple]] = []
     DEPTH = 3  # device/host overlap depth
     for batch in _batches(cfg):
+        if not warmed:
+            # Auto-length mode: charge the first compile (and session
+            # spin-up) to warmup, not to the serving stream, as soon as
+            # the first batch's geometry is known.
+            np.asarray(classifier(np.full_like(batch.codes, 4))[0])
+            timer.mark("Device warmup")
+            warm_s = timer.elapsed()
+            warmed = True
         result = classifier(batch.codes)  # async dispatch
         try:
             result[0].copy_to_host_async()

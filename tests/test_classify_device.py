@@ -130,16 +130,30 @@ def test_emit_threshold_table_matches_float64():
             assert float(th) >= c * float(l), (c, l)
 
 
+def _fast_kernel_mod():
+    """Load the quarantined single-gather kernel (bench/fast_kernel.py —
+    a documented negative result kept runnable for future-hardware A/B)."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "bench" / "fast_kernel.py"
+    spec = importlib.util.spec_from_file_location("fast_kernel", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_fast_kernel_matches_classic(workload):
     """Single-gather kernel with no-overflow capacity must equal the
     classic two-gather kernel bit for bit (collision-heavy index)."""
+    fk = _fast_kernel_mod()
     _, reads, index, _ = workload
     L = 128
     codes = np.full((len(reads), L), 4, dtype=np.uint8)
     for i, r in enumerate(reads):
         codes[i, : len(r)] = encode_bytes(r)
-    classic = Classifier(index, max_winners=24, fast=False)
-    fast = Classifier(index, max_winners=24, fast=True, cap2=L)
+    classic = Classifier(index, max_winners=24)
+    fast = fk.FastClassifier(index, max_winners=24, cap2=L)
     ref = [np.asarray(x) for x in classic(codes)]
     got = [np.asarray(x) for x in fast(codes)]
     for name, a, b in zip(("packed", "winners", "best_cov", "length"), ref, got):
@@ -149,17 +163,18 @@ def test_fast_kernel_matches_classic(workload):
 def test_fast_kernel_overflow_flag(workload):
     from shark_tpu.classify.step import PACK_OVF_SHIFT
 
+    fk = _fast_kernel_mod()
     _, reads, index, _ = workload
     L = 128
     codes = np.full((len(reads), L), 4, dtype=np.uint8)
     for i, r in enumerate(reads):
         codes[i, : len(r)] = encode_bytes(r)
-    tiny = Classifier(index, max_winners=24, fast=True, cap2=4)
+    tiny = fk.FastClassifier(index, max_winners=24, cap2=4)
     packed = np.asarray(tiny(codes)[0])
     ovf = (packed >> PACK_OVF_SHIFT) & 1
     assert ovf.sum() > 0  # collision-heavy index must overflow cap2=4
     # rows without overflow must match the classic kernel
-    classic = Classifier(index, max_winners=24, fast=False)
+    classic = Classifier(index, max_winners=24)
     ref = np.asarray(classic(codes)[0])
     keep = ovf == 0
     np.testing.assert_array_equal(packed[keep], ref[keep])
