@@ -216,13 +216,20 @@ class FastClassifier:
         self.max_winners = max_winners
         self.c = c
         self.cap2 = cap2
-        dev = device or jax.devices()[0]
+        dev = device or jax.local_devices()[0]
         self._dev = dev
+        gene_mat, ext_mat = build_gene_mat(index)
+        if ext_mat is not None:
+            raise ValueError(
+                "the quarantined fast kernel predates capped gene rows; "
+                "use the production Classifier for max_degree > "
+                "GENE_INLINE_CAP indexes"
+            )
         rows, words, self.needy_frac = build_fast_index(index)
         self.dix = FastDeviceIndex(
             rows=jax.device_put(rows, dev),
             words=jax.device_put(words, dev),
-            gene_mat=jax.device_put(build_gene_mat(index), dev),
+            gene_mat=jax.device_put(gene_mat, dev),
         )
         self._fns = {}
         self._thresh = {}

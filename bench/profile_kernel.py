@@ -94,7 +94,7 @@ def main():
     import functools
 
     thresh = jax.device_put(emit_threshold_table(0.6, L))
-    bf_rank_h, gene_mat_h = build_device_index(idx)
+    bf_rank_h, gene_mat_h, _ = build_device_index(idx)
     dix = DeviceIndex(
         bf_rank=jax.device_put(bf_rank_h),
         gene_mat=jax.device_put(gene_mat_h),

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,23 @@ from shark_tpu.ops.xxh64 import xxh64_u64
 MAX_SIZE_BITS = 1 << 36  # 8 GiB of bit-vector
 
 
+# Gene-row capping (transcriptome scale). Rows are (deg, slot_0..slot_{D-1})
+# uint16; a row whose true degree exceeds D keeps its first D-2 genes
+# inline and stores a 32-bit extension-row index in its last two slots.
+# Without a cap, one hot k-mer shared by dozens of genes inflates EVERY row
+# to the global max degree — 64x table blowup at n_set ~ 10^8 (tens of GB,
+# past HBM). D is chosen from the index's DEGREE HISTOGRAM: the smallest
+# power of two covering all but OVF_FRAC of set bits within the row-table
+# byte budget, so family-style panels (every read hits deg ~12 rows) get
+# wide inline rows while sparse transcriptomes stay at 18 bytes/row with a
+# small extension table for the tail.
+GENE_D_CHOICES = (8, 16, 32, 64)
+GENE_OVF_FRAC = 1e-3  # acceptable fraction of set bits past the inline cap
+GENE_MAT_BUDGET = 4 << 30  # primary row-table byte budget
+EXT_MAX_W = 64  # extension-row width cap; reads past it recompute on host
+EXT_CAP2 = 16  # max extension-escaping windows per read before host redo
+
+
 @dataclass(frozen=True)
 class StaticMeta:
     """Compile-time parameters of the classify computation."""
@@ -59,8 +76,9 @@ class StaticMeta:
     k: int
     size_bits: int
     n_genes: int
-    degree: int  # max genes per set bit, padded bucket
+    degree: int  # gene slots per row (max genes per set bit, padded bucket)
     pos_bits: int  # bits reserved for the position in a sort key
+    ext_w: int = 0  # extension-row width (0 = no rows overflow the cap)
 
     @classmethod
     def for_index(cls, index: SharkIndex, max_len: int) -> "StaticMeta":
@@ -72,16 +90,50 @@ class StaticMeta:
         pos_bits = max(1, int(np.ceil(np.log2(max(2, max_len)))))
         if (index.n_genes << pos_bits) >= (1 << 31):
             raise ValueError("n_genes * max_len exceeds 31-bit sort keys")
-        degree = max(1, index.max_degree)
-        # bucket degree to powers of two to bound recompilation
-        degree = 1 << int(np.ceil(np.log2(degree)))
+        degree, ext_w = index_geometry(index)
         return cls(
             k=index.k,
             size_bits=index.size_bits,
             n_genes=index.n_genes,
             degree=degree,
             pos_bits=pos_bits,
+            ext_w=ext_w,
         )
+
+
+def row_geometry(deg: np.ndarray) -> Tuple[int, int]:
+    """(inline gene slots D, extension width) from a degree histogram;
+    powers of two to bound recompilation."""
+    n_set = deg.size
+    if n_set == 0:
+        return 1, 0
+    max_deg = int(deg.max())
+    D = 1 << int(np.ceil(np.log2(max(1, max_deg))))
+    if D <= GENE_D_CHOICES[0]:
+        return D, 0
+    pick = GENE_D_CHOICES[0]
+    for cand in GENE_D_CHOICES:
+        if n_set * (cand + 1) * 2 > GENE_MAT_BUDGET and cand != GENE_D_CHOICES[0]:
+            break
+        pick = cand
+        if cand >= max_deg:
+            return cand, 0
+        if int(np.count_nonzero(deg > cand)) <= GENE_OVF_FRAC * n_set:
+            break
+    resid = max_deg - (pick - 2)
+    ext_w = 1 << int(np.ceil(np.log2(max(1, resid))))
+    return pick, min(ext_w, EXT_MAX_W)
+
+
+def index_geometry(index: SharkIndex) -> Tuple[int, int]:
+    """Cached row geometry of an index (the histogram scan costs a pass
+    over offsets; StaticMeta, the builders, and the shard splitter must all
+    agree on one answer)."""
+    geom = index.__dict__.get("_row_geometry")
+    if geom is None:
+        geom = row_geometry(np.diff(index.offsets))
+        index.__dict__["_row_geometry"] = geom
+    return geom
 
 
 def _mod_size(h: u64.U64, size_bits: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -172,31 +224,86 @@ class DeviceIndex(NamedTuple):
 
     bf_rank: jnp.ndarray  # uint32[n_words, 2]: word, rank
     gene_mat: jnp.ndarray  # uint16[max(n_set,1), D+1]
+    ext_mat: Optional[jnp.ndarray] = None  # uint16[n_ovf, ext_w], deg>D tail
 
 
-def build_gene_mat(index: SharkIndex) -> np.ndarray:
-    """(degree, gene_0..gene_{D-1}) row per set bit (numpy)."""
-    n_set = index.n_set_bits
-    deg = np.diff(index.offsets).astype(np.int64)
-    D = 1 << int(np.ceil(np.log2(max(1, index.max_degree)))) if n_set else 1
+def build_gene_rows(
+    deg: np.ndarray,
+    gene_flat: np.ndarray,
+    ext: bool,
+    geometry: Optional[Tuple[int, int]] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """(degree, slots) rows from per-row degrees + concatenated gene lists.
+
+    Rows with deg <= D hold all genes inline. When the index has rows past
+    GENE_INLINE_CAP, overflow rows keep their first D-2 genes inline and
+    slots D-2, D-1 hold the (lo, hi) halves of an index into the returned
+    extension matrix, whose rows carry genes D-2..min(deg, D-2+ext_w)-1.
+    `ext=False` (sharded shards: no extension table rides the all_to_all)
+    leaves those slots zero — the kernel flags such reads for exact host
+    recompute instead."""
+    n_set = deg.size
+    max_deg = int(deg.max()) if n_set else 0
+    D, ext_w = geometry or row_geometry(deg)
     gene_mat = np.zeros((max(n_set, 1), D + 1), dtype=np.uint16)
-    if n_set:
-        gene_mat[:, 0] = deg
-        rows = np.repeat(np.arange(n_set), deg)
-        cols = np.arange(index.gene_ids.size) - np.repeat(
-            index.offsets[:-1].astype(np.int64), deg
-        )
-        gene_mat[rows, cols + 1] = index.gene_ids
-    return gene_mat
+    ext_mat = None
+    if not n_set:
+        return gene_mat, None
+    offsets = np.concatenate([[0], np.cumsum(deg)])
+    gene_mat[:, 0] = deg
+    inline = np.minimum(deg, D) if ext_w == 0 else np.where(
+        deg > D, D - 2, deg
+    )
+    rows = np.repeat(np.arange(n_set), inline)
+    cols = _ragged_cols(inline)
+    gene_mat[rows, cols + 1] = gene_flat[
+        np.repeat(offsets[:-1], inline) + cols
+    ]
+    if ext_w:
+        ovf = np.flatnonzero(deg > D)
+        if ext and ovf.size:
+            eidx = np.arange(ovf.size, dtype=np.uint32)
+            gene_mat[ovf, D - 1] = (eidx & 0xFFFF).astype(np.uint16)
+            gene_mat[ovf, D] = (eidx >> 16).astype(np.uint16)
+            ext_mat = np.zeros((ovf.size, ext_w), dtype=np.uint16)
+            take = np.minimum(deg[ovf] - (D - 2), ext_w)
+            erows = np.repeat(np.arange(ovf.size), take)
+            ecols = _ragged_cols(take)
+            ext_mat[erows, ecols] = gene_flat[
+                np.repeat(offsets[:-1][ovf] + (D - 2), take) + ecols
+            ]
+    return gene_mat, ext_mat
 
 
-def build_device_index(index: SharkIndex) -> Tuple[np.ndarray, np.ndarray]:
+def _ragged_cols(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for per-row counts."""
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        ends - counts, counts
+    )
+
+
+def build_gene_mat(
+    index: SharkIndex, ext: bool = True
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """(degree, slots) row per set bit (+ extension matrix), numpy."""
+    deg = np.diff(index.offsets).astype(np.int64)
+    return build_gene_rows(
+        deg, np.asarray(index.gene_ids), ext, geometry=index_geometry(index)
+    )
+
+
+def build_device_index(
+    index: SharkIndex,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Host-side construction of the classic DeviceIndex arrays (numpy)."""
     n_words = index.bf_words.size
     bf_rank = np.empty((n_words, 2), dtype=np.uint32)
     bf_rank[:, 0] = index.bf_words
     bf_rank[:, 1] = index.word_rank
-    return bf_rank, build_gene_mat(index)
+    gene_mat, ext_mat = build_gene_mat(index)
+    return bf_rank, gene_mat, ext_mat
 
 
 def hash_positions(codes: jnp.ndarray, meta: StaticMeta):
@@ -242,9 +349,18 @@ def finish_kernel(
     *,
     meta: StaticMeta,
     max_winners: int,
+    ext_mat: Optional[jnp.ndarray] = None,
 ):
     """Coverage scoring + winner selection from per-probe gene rows.
-    Column j of gm/hit is the window ending at position j + (L - Ls)."""
+    Column j of gm/hit is the window ending at position j + (L - Ls).
+
+    With meta.ext_w > 0 some rows overflow the inline gene slots: their
+    first D-2 genes are inline and the tail lives in `ext_mat`, addressed
+    by the 32-bit index in slots D-1, D. Overflowing probes compact to
+    EXT_CAP2 per read for one small second gather; a read whose overflow
+    exceeds that (or whose row tail exceeds ext_w, or ext_mat is absent —
+    the sharded path) gets the PACK_OVF flag and is recomputed exactly on
+    the host."""
     B, L = codes.shape
     Ls = hit.shape[1]
     off = L - Ls
@@ -261,17 +377,60 @@ def finish_kernel(
         (jnp.arange(Ls, dtype=jnp.int32) + off)[None, :], (B, Ls)
     )
     sentinel = jnp.uint32(G << pos_bits)
+    pos_u32 = pos_i32.astype(jnp.uint32)
+    row_ovf = jnp.zeros((B,), dtype=jnp.bool_)
     keys = []
-    for d in range(D):
-        g = gm[..., 1 + d].astype(jnp.uint32)
-        key = (g << pos_bits) | pos_i32.astype(jnp.uint32)
-        keys.append(jnp.where(hit & (d < deg), key, sentinel))
-    key_mat = jnp.concatenate(keys, axis=1)  # [B, Ls*D]
+    if meta.ext_w == 0:
+        for d in range(D):
+            g = gm[..., 1 + d].astype(jnp.uint32)
+            key = (g << pos_bits) | pos_u32
+            keys.append(jnp.where(hit & (d < deg), key, sentinel))
+    else:
+        # inline slots: all D when deg <= D, else the first D-2 (the last
+        # two hold the extension-row index)
+        over = deg > D
+        for d in range(D):
+            g = gm[..., 1 + d].astype(jnp.uint32)
+            key = (g << pos_bits) | pos_u32
+            ok = hit & (d < deg) & (~over if d >= D - 2 else True)
+            keys.append(jnp.where(ok, key, sentinel))
+        needy = hit & over
+        if ext_mat is None:
+            # no extension table on this path: exact host recompute
+            row_ovf = jnp.any(needy, axis=1)
+        else:
+            cap2 = EXT_CAP2
+            need_pos = jnp.where(needy, pos_i32, L)
+            sneed = jnp.sort(need_pos, axis=1)[:, :cap2]  # [B, cap2]
+            svalid = sneed < L
+            sneed_c = jnp.minimum(sneed, L - 1)
+            scol = jnp.maximum(sneed_c - off, 0)
+            gm2 = jnp.take_along_axis(gm, scol[..., None], axis=1)
+            erow = gm2[..., D - 1].astype(jnp.int32) | (
+                gm2[..., D].astype(jnp.int32) << 16
+            )
+            eg = jnp.take(
+                ext_mat, jnp.where(svalid, erow, 0), axis=0
+            )  # [B, cap2, ext_w]
+            resid = jnp.where(
+                svalid, gm2[..., 0].astype(jnp.int32) - (D - 2), 0
+            )
+            spos = sneed_c.astype(jnp.uint32)
+            for d in range(meta.ext_w):
+                g = eg[..., d].astype(jnp.uint32)
+                key = (g << pos_bits) | spos
+                keys.append(
+                    jnp.where(svalid & (d < resid), key, sentinel)
+                )
+            row_ovf = (
+                jnp.sum(needy.astype(jnp.int32), axis=1) > cap2
+            ) | jnp.any(needy & (deg - (D - 2) > meta.ext_w), axis=1)
+    key_mat = jnp.concatenate(keys, axis=1)
     return finish_from_keys(
         key_mat,
         length,
         thresh,
-        jnp.zeros((B,), dtype=jnp.bool_),
+        row_ovf,
         meta=meta,
         max_winners=max_winners,
         L=L,
@@ -360,7 +519,13 @@ def classify_kernel(
     word_idx, bit_off, win_valid = hash_positions(codes, meta)
     gm, hit = probe_local(dix, word_idx, bit_off, win_valid)
     return finish_kernel(
-        gm, hit, codes, thresh, meta=meta, max_winners=max_winners
+        gm,
+        hit,
+        codes,
+        thresh,
+        meta=meta,
+        max_winners=max_winners,
+        ext_mat=dix.ext_mat,
     )
 
 
@@ -417,12 +582,17 @@ class Classifier:
         self.index = index
         self.max_winners = max_winners
         self.c = c
-        dev = device or jax.devices()[0]
+        # local_devices: under a multi-host jax.distributed runtime the
+        # global jax.devices()[0] may live on another process
+        dev = device or jax.local_devices()[0]
         self._dev = dev
-        bf_rank, gene_mat = build_device_index(index)
+        bf_rank, gene_mat, ext_mat = build_device_index(index)
         self.dix = DeviceIndex(
             bf_rank=jax.device_put(bf_rank, dev),
             gene_mat=jax.device_put(gene_mat, dev),
+            ext_mat=(
+                jax.device_put(ext_mat, dev) if ext_mat is not None else None
+            ),
         )
         self._fns = {}
         self._thresh = {}

@@ -128,6 +128,13 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
+        if args.backend:
+            # The platform must be pinned BEFORE the distributed runtime
+            # initializes (the env-var spelling is ignored by some plugin
+            # setups; the config knob is authoritative).
+            import jax
+
+            jax.config.update("jax_platforms", args.backend)
         from shark_tpu.parallel.distributed import initialize
 
         initialize(args.coordinator, args.num_hosts, args.host_id)

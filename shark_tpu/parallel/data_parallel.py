@@ -44,10 +44,13 @@ class DataParallelClassifier:
         self.n_devices = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
         repl = NamedSharding(self.mesh, P())
         self._repl = repl
-        bf_rank, gene_mat = build_device_index(index)
+        bf_rank, gene_mat, ext_mat = build_device_index(index)
         self.dix = DeviceIndex(
             bf_rank=jax.device_put(bf_rank, repl),
             gene_mat=jax.device_put(gene_mat, repl),
+            ext_mat=(
+                jax.device_put(ext_mat, repl) if ext_mat is not None else None
+            ),
         )
         self._fns = {}
         self._thresh = {}
@@ -69,7 +72,15 @@ class DataParallelClassifier:
             fn = jax.jit(
                 kern,
                 in_shardings=(
-                    DeviceIndex(bf_rank=self._repl, gene_mat=self._repl),
+                    DeviceIndex(
+                        bf_rank=self._repl,
+                        gene_mat=self._repl,
+                        ext_mat=(
+                            self._repl
+                            if self.dix.ext_mat is not None
+                            else None
+                        ),
+                    ),
                     self._repl,
                 )
                 + data_shardings,

@@ -4,27 +4,31 @@ The reference is single-process shared-memory only (SURVEY.md §2); scaling
 beyond one host is new, TPU-native design:
 
 - **Runtime**: `jax.distributed` (one process per host, all hosts join one
-  mesh). The replicated-index classifier then runs unchanged — the index is
-  replicated into every chip's HBM and each host feeds its own chips, with
-  zero collectives on the probe path. The sharded-BF classifier's
-  all_to_all rides ICI within a slice.
+  runtime). The replicated-index classifier then runs unchanged — the index
+  is replicated into every local chip's HBM and each host feeds its own
+  chips, with zero collectives on the probe path. The sharded-BF
+  classifier's all_to_all rides ICI within a slice.
 - **Input sharding**: by FILE. RNA-Seq samples arrive as (pairs of) FASTQ
   files; each host streams its assigned files through its local chips and
-  writes host-local outputs (`out.ssv.<host>`, `sharked.1.<host>.fq`, ...).
-  Concatenating per-host outputs in host order reproduces the
-  deterministic single-host order per file.
+  writes one output part PER FILE PAIR, named by the pair's GLOBAL index
+  (`out.ssv.part3`, ...). Concatenating parts in global index order then
+  reproduces exactly the output a single host would produce processing the
+  files in order — regardless of how pairs were assigned to hosts.
 
-Typical launch (per host):
+Typical launch (per host), via `run_files`:
 
-    shark_tpu.parallel.distributed.initialize(coordinator, n_hosts, host_id)
-    files = assign_files(all_pairs, n_hosts)[host_id]
-    for fq1, fq2 in files:
-        run_pipeline(replace(cfg, sample1_path=fq1, sample2_path=fq2,
-                             ssv_path=f"{out}.ssv.{host_id}", ...))
+    initialize(coordinator, n_hosts, host_id)
+    run_files(cfg, all_pairs, host_id, n_hosts)   # writes this host's parts
+    # after all hosts finish (shared filesystem / artifact copy):
+    merge_parts(cfg.ssv_path, len(all_pairs))     # on the merging host
+
+For the single-file-pair-per-host case the CLI's `--host-id` suffixing
+(shark_tpu/cli.py) is equivalent: part index == host index.
 """
 
 from __future__ import annotations
 
+from dataclasses import replace
 from typing import List, Optional, Sequence, Tuple
 
 FilePair = Tuple[str, str]
@@ -58,21 +62,63 @@ def initialize(
 
 def assign_files(
     pairs: Sequence[FilePair], num_hosts: int
-) -> List[List[FilePair]]:
-    """Deterministic round-robin assignment of input file pairs to hosts.
+) -> List[List[Tuple[int, FilePair]]]:
+    """Deterministic round-robin assignment of (global index, file pair) to
+    hosts.
 
     Round-robin (not contiguous blocks) so heterogeneous file sizes spread
     evenly; assignment depends only on (pairs order, num_hosts), so every
-    host computes the same global view without communication.
-    """
-    out: List[List[FilePair]] = [[] for _ in range(num_hosts)]
+    host computes the same global view without communication. The global
+    index travels with the pair because merge order is INDEX order, not
+    host order (host order would interleave f0,f3,... before f1)."""
+    out: List[List[Tuple[int, FilePair]]] = [[] for _ in range(num_hosts)]
     for i, p in enumerate(pairs):
-        out[i % num_hosts].append(p)
+        out[i % num_hosts].append((i, p))
     return out
 
 
-def merge_outputs(part_paths: Sequence[str], dest: str) -> None:
-    """Concatenate per-host output parts (ssv or FASTQ) in host order."""
+def run_files(cfg, pairs: Sequence[FilePair], host_id: int, num_hosts: int):
+    """Run the pipeline over this host's assigned file pairs, one output
+    part per pair named by its global index. Returns the list of
+    (global index, stats) produced."""
+    from shark_tpu.pipeline import run_pipeline
+
+    cfg.finalize_outputs()
+    results = []
+    for gi, (fq1, fq2) in assign_files(pairs, num_hosts)[host_id]:
+        part_cfg = replace(
+            cfg,
+            sample1_path=fq1,
+            sample2_path=fq2 or "",
+            ssv_path=host_suffixed(cfg.ssv_path, f"part{gi}")
+            if cfg.ssv_path
+            else "",
+            out1_path=host_suffixed(cfg.out1_path, f"part{gi}"),
+            out2_path=host_suffixed(cfg.out2_path, f"part{gi}")
+            if cfg.out2_path
+            else "",
+        )
+        results.append((gi, run_pipeline(part_cfg)))
+    return results
+
+
+def merge_parts(dest: str, n_parts: int, remove: bool = False) -> None:
+    """Concatenate per-file-pair output parts in GLOBAL INDEX order,
+    reproducing the deterministic single-host output. Run on one host
+    after every part exists (shared filesystem, or copy parts first)."""
+    merge_outputs(
+        [host_suffixed(dest, f"part{i}") for i in range(n_parts)],
+        dest,
+        remove=remove,
+    )
+
+
+def merge_outputs(
+    part_paths: Sequence[str], dest: str, remove: bool = False
+) -> None:
+    """Concatenate output parts in the given order."""
+    import os
+
     with open(dest, "wb") as out:
         for p in part_paths:
             with open(p, "rb") as f:
@@ -81,3 +127,6 @@ def merge_outputs(part_paths: Sequence[str], dest: str) -> None:
                     if not chunk:
                         break
                     out.write(chunk)
+    if remove:
+        for p in part_paths:
+            os.remove(p)

@@ -61,11 +61,14 @@ def shard_index(index: SharkIndex, n: int):
             "use more devices"
         )
     deg_all = np.diff(index.offsets).astype(np.int64)
-    D = (
-        1 << int(np.ceil(np.log2(max(1, index.max_degree))))
-        if index.n_set_bits
-        else 1
-    )
+    # capped-degree rows with ONE geometry across shards; the extension
+    # table does not ride the all_to_all — reads hitting deg>D rows carry
+    # the PACK_OVF flag and recompute exactly on the host (rare by
+    # construction; see classify/step.py GENE_INLINE_CAP)
+    from shark_tpu.classify.step import build_gene_rows, index_geometry
+
+    geometry = index_geometry(index)
+    D = geometry[0]
     # per-shard set-bit counts via the word rank at shard boundaries
     bf_ranks = np.empty((n, wps, 2), dtype=np.uint32)
     gene_mats = []
@@ -87,18 +90,18 @@ def shard_index(index: SharkIndex, n: int):
         max_rows = max(max_rows, end - base)
     for s in range(n):
         base, end = int(bounds[s]), int(bounds[s + 1])
-        gm = np.zeros((max_rows, D + 1), dtype=np.uint16)
-        cnt = end - base
-        if cnt:
-            deg = deg_all[base:end]
-            gm[:cnt, 0] = deg
-            rows = np.repeat(np.arange(cnt), deg)
-            lo_assoc = int(index.offsets[base])
-            hi_assoc = int(index.offsets[end])
-            cols = np.arange(hi_assoc - lo_assoc) - np.repeat(
-                (index.offsets[base:end] - lo_assoc).astype(np.int64), deg
+        lo_assoc = int(index.offsets[base])
+        hi_assoc = int(index.offsets[end])
+        gm, _ = build_gene_rows(
+            deg_all[base:end],
+            np.asarray(index.gene_ids[lo_assoc:hi_assoc]),
+            ext=False,
+            geometry=geometry,
+        )
+        if gm.shape[0] < max_rows:
+            gm = np.vstack(
+                [gm, np.zeros((max_rows - gm.shape[0], D + 1), np.uint16)]
             )
-            gm[rows, cols + 1] = index.gene_ids[lo_assoc:hi_assoc]
         gene_mats.append(gm)
     return bf_ranks, np.stack(gene_mats), wps, D
 

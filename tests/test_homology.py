@@ -69,6 +69,71 @@ def test_homolog_ties_match_oracle(homolog_workload):
     assert n_multi > 10  # the workload must actually produce ties
 
 
+def _high_degree_workload(n_members, rng_seed=7):
+    """One family of n_members genes sharing a core: every core k-mer has
+    degree n_members."""
+    rng = np.random.default_rng(rng_seed)
+    core = BASES[rng.integers(0, 4, size=200)]
+    records = []
+    for m in range(n_members):
+        left = BASES[rng.integers(0, 4, size=60)]
+        right = BASES[rng.integers(0, 4, size=60)]
+        records.append(
+            (f"M{m}", np.concatenate([left, core, right]).tobytes())
+        )
+    # distinct singleton genes so degree 1 dominates the histogram
+    for g in range(40):
+        records.append(
+            (f"S{g}", BASES[rng.integers(0, 4, size=400)].tobytes())
+        )
+    index = build_index(records, K, SIZE_BITS)
+    oracle = build_oracle_index(records, K, SIZE_BITS)
+    reads = []
+    for _ in range(200):
+        _, seq = records[rng.integers(0, len(records))]
+        start = int(rng.integers(0, len(seq) - 90))
+        reads.append(seq[start : start + 90])
+    return index, oracle, reads
+
+
+@pytest.mark.parametrize("members", [12, 40])
+def test_high_degree_rows_match_oracle(members):
+    """Degree > 8 rows: wide-inline geometry (12-member family fits D=16)
+    and the extension-table escape (40 members with GENE_OVF_FRAC forcing
+    a capped D on this histogram) must both match the oracle exactly —
+    including the PACK_OVF host-recompute path."""
+    import shark_tpu.classify.step as step
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import _winner_pairs
+
+    index, oracle, reads = _high_degree_workload(members)
+    assert index.max_degree >= members
+    D, ext_w = step.index_geometry(index)
+    if members > 16:
+        # force the capped + extension geometry even though this tiny
+        # index would fit wide rows
+        index.__dict__["_row_geometry"] = (8, 64)
+        D, ext_w = 8, 64
+        assert int(np.count_nonzero(np.diff(index.offsets) > 8)) > 0
+    L = 128
+    codes = np.full((len(reads), L), 4, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_bytes(r)
+    clf = Classifier(index, max_winners=24, c=0.6)
+    if ext_w:
+        assert clf.dix.ext_mat is not None
+    result = clf(codes)
+    cfg = SharkConfig(fasta_path="x", sample1_path="y")
+    ri, gi = _winner_pairs(cfg, index, result, len(reads), codes, 24)
+    want_r, want_g = [], []
+    for i, r in enumerate(reads):
+        wins, _, _ = classify_read(oracle, encode_bytes(r), 0.6, False)
+        want_r.extend([i] * len(wins))
+        want_g.extend(wins)
+    assert ri.tolist() == want_r
+    assert gi.tolist() == want_g
+
+
 def test_extra_pair_stream_and_fallback(homolog_workload):
     """The compacted extra-winner pair fetch (pipeline._winner_pairs fast
     path) and its truncation fallback must both reproduce the oracle's
