@@ -2,21 +2,27 @@
 """Benchmark: TPU classify throughput vs a CPU baseline of the reference
 algorithm.
 
-Workload: a synthetic gene panel (FASTA) + simulated reads (FASTQ), default
-Bloom size (1 GiB of bits, the reference's -b 1), k=17, c=0.6 — the
-reference's headline configuration (BASELINE.md). The baseline is
-bench/baseline.cpp, an independent C++ implementation of the reference's
-algorithm with a faster index layout, run with all host cores; the TPU side
-is the full shark_tpu pipeline (host FASTQ parse + encode + device classify +
-threshold + ssv write) timed end-to-end over its classify phase.
+Primary workload: a synthetic gene panel (FASTA) + simulated reads (FASTQ),
+default Bloom size (1 GiB of bits, the reference's -b 1), k=17, c=0.6.
+Secondary workloads (the reference's headline invocation is PAIRED,
+README.md:63-66): 250k read pairs, and a quality-masked (-q 10) single-end
+run. The baseline is bench/baseline.cpp, an independent C++ implementation
+of the reference's algorithm with a faster index layout, run with all host
+cores (best of 3); the TPU side is the full shark_tpu pipeline (host FASTQ
+parse + encode + device classify + threshold + ssv write) timed end-to-end
+over its classify phase, best of 2 passes against one warm classifier
+(cross-session tunnel variance is the dominant noise source — see
+docs/PERF.md).
 
 Prints ONE JSON line:
-  {"metric": "reads_per_sec", "value": N, "unit": "reads/s", "vs_baseline": R}
+  {"metric": "reads_per_sec", "value": N, "unit": "reads/s",
+   "vs_baseline": R, "probes_per_sec": P, "pct_gather_ceiling": C,
+   "paired_reads_per_sec": N2, "paired_vs_baseline": R2,
+   "q10_reads_per_sec": N3, "q10_vs_baseline": R3}
 """
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import subprocess
@@ -33,7 +39,14 @@ BF_BITS = 1 << 33  # reference default -b 1
 N_GENES = 500
 GENE_LEN = 1500
 N_READS = 500_000
+N_PAIRS = 250_000
 READ_LEN = 100
+MAX_LEN = 104  # tightest %8 padding for 100bp reads: 88 probe windows
+PAIR_MAX_LEN = 208  # 100 + 1 + 100 fused, padded to %8
+# Measured XLA gather issue ceiling on v5e for the hashed probe layout
+# (bench/hash_gather_bench.py); probes/s beyond ~this rate means the probe
+# gather is no longer the bottleneck. Cross-session +-40%.
+GATHER_CEILING_ROWS_S = 130e6
 
 
 def log(msg: str) -> None:
@@ -44,14 +57,21 @@ def gen_workload():
     os.makedirs(CACHE, exist_ok=True)
     fasta = os.path.join(CACHE, "genes.fa")
     fastq = os.path.join(CACHE, "reads.fq")
+    fastq_q = os.path.join(CACHE, "reads_q.fq")
+    fq_p1 = os.path.join(CACHE, "pairs_1.fq")
+    fq_p2 = os.path.join(CACHE, "pairs_2.fq")
     stamp = os.path.join(
-        CACHE, f"stamp_{N_GENES}x{GENE_LEN}_{N_READS}x{READ_LEN}"
+        CACHE, f"stamp2_{N_GENES}x{GENE_LEN}_{N_READS}x{READ_LEN}"
     )
+    paths = (fasta, fastq, fastq_q, fq_p1, fq_p2)
     if os.path.exists(stamp):
-        return fasta, fastq
+        return paths
     log("generating synthetic workload ...")
     rng = np.random.default_rng(12345)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    comp = {0: 3, 1: 2, 2: 1, 3: 0}
+    rc_map = np.array([3, 2, 1, 0], dtype=np.uint8)
+    del comp
     genes = []
     with open(fasta, "wb") as f:
         for g in range(N_GENES):
@@ -59,21 +79,44 @@ def gen_workload():
             genes.append(seq)
             f.write(b">GENE%05d\n" % g)
             f.write(seq.tobytes() + b"\n")
-    qual = b"I" * READ_LEN
+    code = np.full(256, 0, np.uint8)
+    for i, b in enumerate(b"ACGT"):
+        code[b] = i
     err_bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
-    with open(fastq, "wb") as f:
+
+    def read_from(gi, start, rc=False):
+        arr = genes[gi][start : start + READ_LEN].copy()
+        mut = rng.random(READ_LEN) < 0.02
+        nm = int(mut.sum())
+        if nm:
+            arr[mut] = err_bases[rng.integers(0, 5, size=nm)]
+        if rc:
+            arr = bases[rc_map[code[arr[::-1]]]]
+        return arr
+
+    qual_const = b"I" * READ_LEN
+    with open(fastq, "wb") as f, open(fastq_q, "wb") as fq:
         gidx = rng.integers(0, N_GENES, size=N_READS)
         starts = rng.integers(0, GENE_LEN - READ_LEN, size=N_READS)
         for i in range(N_READS):
-            arr = genes[gidx[i]][starts[i] : starts[i] + READ_LEN].copy()
-            mut = rng.random(READ_LEN) < 0.02
-            nm = int(mut.sum())
-            if nm:
-                arr[mut] = err_bases[rng.integers(0, 5, size=nm)]
-            f.write(b"@r%07d\n" % i)
-            f.write(arr.tobytes() + b"\n+\n" + qual + b"\n")
+            arr = read_from(int(gidx[i]), int(starts[i]))
+            rec_head = b"@r%07d\n" % i
+            f.write(rec_head + arr.tobytes() + b"\n+\n" + qual_const + b"\n")
+            # quality workload: same reads, phred 2..40 uniform (q10 masks
+            # ~22% of bases -> real masking work on host and device)
+            q = (rng.integers(2, 41, size=READ_LEN) + 33).astype(np.uint8)
+            fq.write(rec_head + arr.tobytes() + b"\n+\n" + q.tobytes() + b"\n")
+    with open(fq_p1, "wb") as f1, open(fq_p2, "wb") as f2:
+        gidx = rng.integers(0, N_GENES, size=N_PAIRS)
+        starts = rng.integers(0, GENE_LEN - READ_LEN - 220, size=N_PAIRS)
+        for i in range(N_PAIRS):
+            gi, s1 = int(gidx[i]), int(starts[i])
+            m1 = read_from(gi, s1)
+            m2 = read_from(gi, s1 + 180, rc=True)  # innie pair, mate2 RC'd
+            f1.write(b"@p%07d\n" % i + m1.tobytes() + b"\n+\n" + qual_const + b"\n")
+            f2.write(b"@p%07d\n" % i + m2.tobytes() + b"\n+\n" + qual_const + b"\n")
     open(stamp, "w").close()
-    return fasta, fastq
+    return paths
 
 
 def build_baseline() -> str:
@@ -91,69 +134,112 @@ def build_baseline() -> str:
     return exe
 
 
-def run_baseline(fasta: str, fastq: str) -> dict:
+def run_baseline(fasta, fastq, fastq2="", minq=0, best_of=3) -> dict:
     exe = build_baseline()
     threads = os.cpu_count() or 1
-    log(f"running CPU baseline ({threads} threads, best of 3) ...")
     best = None
-    for _ in range(3):
+    for _ in range(best_of):
         out = subprocess.run(
-            [exe, fasta, fastq, str(K), str(C), str(BF_BITS), str(threads)],
+            [exe, fasta, fastq, str(K), str(C), str(BF_BITS), str(threads),
+             fastq2, str(minq)],
             check=True, capture_output=True, text=True,
         ).stdout
         res = json.loads(out.strip().splitlines()[-1])
         if best is None or res["reads_per_sec"] > best["reads_per_sec"]:
             best = res
-    log(f"baseline: {best}")
+    log(f"baseline ({fastq2 and 'paired' or (minq and 'q%d' % minq or 'single')}): {best}")
     return best
 
 
-def run_tpu(fasta: str, fastq: str) -> dict:
+def run_tpu(fasta, fastq, fastq2="", minq=0, max_len=MAX_LEN, passes=2):
     from shark_tpu.config import SharkConfig
     from shark_tpu.pipeline import run_pipeline
 
-    out1 = os.path.join(CACHE, "sharked.out.fq")
     cfg = SharkConfig(
         fasta_path=fasta,
         sample1_path=fastq,
-        out1_path=out1,
+        sample2_path=fastq2,
+        out1_path=os.path.join(CACHE, "sharked.out.fq"),
+        out2_path=os.path.join(CACHE, "sharked.out2.fq") if fastq2 else "",
         ssv_path=os.path.join(CACHE, "out.ssv"),
         k=K,
         c=C,
         bf_gb=BF_BITS >> 33,
+        min_quality=minq,
         batch_size=65536,
-        max_read_len=128,
+        max_read_len=max_len,
     )
     idx_dir = os.path.join(CACHE, "index.d")
     if os.path.isdir(idx_dir):
         cfg.load_index = idx_dir
     else:
         cfg.save_index = idx_dir
-    log("running shark_tpu pipeline (warm-up + timed) ...")
-    stats = run_pipeline(cfg)
-    log(f"shark_tpu: {stats}")
-    return stats
+    from shark_tpu.classify.step import Classifier
+    from shark_tpu.pipeline import load_or_build_index
+    from shark_tpu.utils.timers import PhaseTimer
+
+    index = load_or_build_index(cfg, PhaseTimer())
+    cfg.load_index = idx_dir
+    cfg.save_index = ""
+    classifier = Classifier(index, max_winners=cfg.max_winners, c=cfg.c)
+    log(f"probe path: {classifier.probe}")
+    best = None
+    for p in range(passes):
+        stats = run_pipeline(cfg, classifier=classifier)
+        log(f"tpu pass {p}: {stats}")
+        if best is None or stats["classify_s"] < best["classify_s"]:
+            best = stats
+    return best
 
 
 def main() -> None:
-    fasta, fastq = gen_workload()
+    fasta, fastq, fastq_q, fq_p1, fq_p2 = gen_workload()
+
     base = run_baseline(fasta, fastq)
     ours = run_tpu(fasta, fastq)
     value = ours["n_reads"] / ours["classify_s"]
-
     if ours["n_associations"] != base["n_associations"]:
         log(
             "WARNING: association count mismatch: "
             f"tpu={ours['n_associations']} baseline={base['n_associations']}"
         )
-
     vs = value / base["reads_per_sec"]
-    print(json.dumps({
+    windows = MAX_LEN - K + 1
+    probes_s = value * windows
+
+    out = {
         "metric": "reads_per_sec",
         "value": round(value, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3),
-    }))
+        "probes_per_sec": round(probes_s, 0),
+        "pct_gather_ceiling": round(100 * probes_s / GATHER_CEILING_ROWS_S, 1),
+    }
+
+    if os.environ.get("BENCH_PRIMARY_ONLY", "") != "1":
+        base_p = run_baseline(fasta, fq_p1, fastq2=fq_p2, best_of=2)
+        ours_p = run_tpu(fasta, fq_p1, fastq2=fq_p2, max_len=PAIR_MAX_LEN)
+        if ours_p["n_associations"] != base_p["n_associations"]:
+            log(
+                "WARNING: paired association mismatch: "
+                f"tpu={ours_p['n_associations']} baseline={base_p['n_associations']}"
+            )
+        v_p = ours_p["n_reads"] / ours_p["classify_s"]
+        out["paired_reads_per_sec"] = round(v_p, 1)
+        out["paired_vs_baseline"] = round(v_p / base_p["reads_per_sec"], 3)
+
+        base_q = run_baseline(fasta, fastq_q, minq=10, best_of=2)
+        ours_q = run_tpu(fasta, fastq_q, minq=10)
+        if ours_q["n_associations"] != base_q["n_associations"]:
+            log(
+                "WARNING: q10 association mismatch: "
+                f"tpu={ours_q['n_associations']} baseline={base_q['n_associations']}"
+            )
+        v_q = ours_q["n_reads"] / ours_q["classify_s"]
+        out["q10_reads_per_sec"] = round(v_q, 1)
+        out["q10_vs_baseline"] = round(v_q / base_q["reads_per_sec"], 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -16,7 +16,11 @@
 // faster than the reference's sdsl rank+select walk — a conservative
 // (stronger) baseline. Build: g++ -O3 -march=native -std=c++17 -pthread
 //
-// Usage: baseline <fasta> <fastq> <k> <c> <bf_bits_log2|bits> <threads>
+// Usage: baseline <fasta> <fastq> <k> <c> <bf_bits> <threads> [fastq2] [minq]
+//   fastq2: optional mate file — pairs fuse as seq1+'N'+seq2 and classify
+//           jointly (reference FastqSplitter.hpp:63)
+//   minq:   optional quality cut — bases with qual < minq+33 mask invalid
+//           over the fused qual = qual1+'\33'+qual2 (FastqSplitter.hpp:84-113)
 // Prints: n_reads, n_associations, build_s, classify_s, reads_per_sec
 
 #include <algorithm>
@@ -211,26 +215,47 @@ int main(int argc, char** argv) {
   double c = atof(argv[4]);
   uint64_t bf_bits = strtoull(argv[5], nullptr, 10);
   int threads = atoi(argv[6]);
+  const char* fastq2 = (argc > 7 && argv[7][0]) ? argv[7] : nullptr;
+  int minq = argc > 8 ? atoi(argv[8]) : 0;
 
   auto t0 = std::chrono::steady_clock::now();
   Index ix;
   build_index(fasta, k, bf_bits, ix);
   auto t1 = std::chrono::steady_clock::now();
 
-  // Load all reads up front so classify timing is pure compute (favors the
-  // baseline: the TPU side is timed end-to-end including host encode).
-  std::vector<std::string> reads;
-  {
-    std::ifstream f(fastq);
+  // Load all reads up front, fusing pairs and applying quality masking, so
+  // classify timing is pure compute (favors the baseline: the TPU side is
+  // timed end-to-end including host parse + encode + mask).
+  auto load = [](const char* path, std::vector<std::string>& seqs,
+                 std::vector<std::string>& quals) {
+    std::ifstream f(path);
     std::string line;
     int ln = 0;
     while (std::getline(f, line)) {
-      if (ln % 4 == 1) {
-        if (!line.empty() && line.back() == '\r') line.pop_back();
-        reads.push_back(line);
-      }
+      if (!line.empty() && line.back() == '\r') line.pop_back();
+      if (ln % 4 == 1) seqs.push_back(line);
+      if (ln % 4 == 3) quals.push_back(line);
       ln++;
     }
+  };
+  std::vector<std::string> reads, quals;
+  load(fastq, reads, quals);
+  if (fastq2) {
+    std::vector<std::string> r2, q2;
+    load(fastq2, r2, q2);
+    size_t n = std::min(reads.size(), r2.size());
+    reads.resize(n);
+    quals.resize(n);
+    for (size_t i = 0; i < n; i++) {
+      reads[i] += "N" + r2[i];
+      quals[i] += "\33" + q2[i];
+    }
+  }
+  if (minq > 0) {
+    const char cut = (char)(minq + 33);
+    for (size_t i = 0; i < reads.size(); i++)
+      for (size_t j = 0; j < quals[i].size() && j < reads[i].size(); j++)
+        if (quals[i][j] < cut) reads[i][j] -= 64;  // FastqSplitter.hpp:106
   }
 
   auto t2 = std::chrono::steady_clock::now();

@@ -1,0 +1,159 @@
+"""Transcriptome-scale validation: 50k genes, -b 1, end-to-end on one chip.
+
+Exercises the capped-degree gene rows (classify/step.py row_geometry) at a
+scale where the old max-degree-padded layout would blow past HBM, and
+checks exact agreement with the host oracle on a read sample.
+
+Reference capacity contract: <= 65536 genes (bloomfilter.h:45),
+-b 1 = 2^33 bits (argument_parser.hpp:130-133).
+
+Usage: python bench/transcriptome_bench.py [n_genes] [n_reads]
+Prints one JSON line with throughput + memory figures.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(ROOT, "bench", ".cache", "txome")
+
+K = 17
+C = 0.6
+BF_BITS = 1 << 33
+GENE_LEN = 1500
+READ_LEN = 100
+
+
+def log(m):
+    print(f"[txome] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    n_genes = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    os.makedirs(CACHE, exist_ok=True)
+    fasta = os.path.join(CACHE, f"genes{n_genes}.fa")
+    fastq = os.path.join(CACHE, f"reads{n_genes}_{n_reads}.fq")
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    if not os.path.exists(fastq):
+        log(f"generating {n_genes} genes x {GENE_LEN}bp + {n_reads} reads ...")
+        # gene families (8 members sharing a 300bp core) every 10th gene so
+        # the degree histogram has a real multi-gene tail
+        genes = []
+        with open(fasta, "wb") as f:
+            fam_core = None
+            for g in range(n_genes):
+                if g % 80 == 0:
+                    fam_core = bases[rng.integers(0, 4, size=300)]
+                if g % 80 < 8:
+                    left = bases[rng.integers(0, 4, size=600)]
+                    right = bases[rng.integers(0, 4, size=600)]
+                    seq = np.concatenate([left, fam_core, right])
+                else:
+                    seq = bases[rng.integers(0, 4, size=GENE_LEN)]
+                genes.append(seq)
+                f.write(b">G%05d\n" % g + seq.tobytes() + b"\n")
+        qual = b"I" * READ_LEN
+        with open(fastq, "wb") as f:
+            gidx = rng.integers(0, n_genes, size=n_reads)
+            starts = rng.integers(0, GENE_LEN - READ_LEN, size=n_reads)
+            for i in range(n_reads):
+                arr = genes[int(gidx[i])][
+                    int(starts[i]) : int(starts[i]) + READ_LEN
+                ]
+                f.write(b"@r%07d\n" % i + arr.tobytes() + b"\n+\n" + qual + b"\n")
+
+    from shark_tpu.classify.step import Classifier, index_geometry
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import load_or_build_index, run_pipeline
+    from shark_tpu.utils.timers import PhaseTimer
+
+    cfg = SharkConfig(
+        fasta_path=fasta,
+        sample1_path=fastq,
+        out1_path=os.path.join(CACHE, "out.fq"),
+        ssv_path=os.path.join(CACHE, "out.ssv"),
+        k=K,
+        c=C,
+        bf_gb=BF_BITS >> 33,
+        batch_size=65536,
+        max_read_len=104,
+    )
+    t0 = time.time()
+    index = load_or_build_index(cfg, PhaseTimer())
+    build_s = time.time() - t0
+    D, ext_w = index_geometry(index)
+    n_set = index.n_set_bits
+    gene_mat_mb = n_set * (D + 1) * 2 / 1e6
+    log(
+        f"index: {index.n_genes} genes, n_set={n_set}, max_degree="
+        f"{index.max_degree}, geometry D={D} ext_w={ext_w}, "
+        f"gene_mat={gene_mat_mb:.0f}MB, build {build_s:.1f}s"
+    )
+
+    classifier = Classifier(index, max_winners=cfg.max_winners, c=cfg.c)
+    log(f"probe path: {classifier.probe}")
+    stats = run_pipeline(cfg, classifier=classifier)
+    log(f"stats: {stats}")
+
+    # oracle equality on a read sample (the full-file golden check is the
+    # regular test suite's job at example scale; here we spot-check the
+    # transcriptome geometry end to end)
+    from shark_tpu.classify.oracle import classify_read
+    from shark_tpu.ops.kmers import encode_bytes
+    from shark_tpu.pipeline import _ShimIndex
+
+    shim = _ShimIndex(index)
+    ssv = {}
+    with open(cfg.ssv_path) as f:
+        for line in f:
+            r, g = line.split()
+            ssv.setdefault(r, []).append(g)
+    rng2 = np.random.default_rng(1)
+    checked = 0
+    with open(fastq, "rb") as f:
+        lines = []
+        for i, line in enumerate(f):
+            lines.append(line)
+            if len(lines) == 4:
+                rid = lines[0][1:].strip().decode()
+                seq = lines[1].strip()
+                lines = []
+                if rng2.random() < 2000 / n_reads:
+                    wins, _, _ = classify_read(
+                        shim, encode_bytes(seq), C, False
+                    )
+                    want = [index.gene_names[g] for g in wins]
+                    got = ssv.get(rid, [])
+                    assert got == want, (rid, got, want)
+                    checked += 1
+    log(f"oracle spot-check: {checked} reads exact")
+
+    print(
+        json.dumps(
+            {
+                "metric": "txome_reads_per_sec",
+                "n_genes": index.n_genes,
+                "n_set": n_set,
+                "geometry_D": D,
+                "ext_w": ext_w,
+                "gene_mat_mb": round(gene_mat_mb, 1),
+                "probe_path": classifier.probe,
+                "value": round(stats["n_reads"] / stats["classify_s"], 1),
+                "unit": "reads/s",
+                "n_associations": stats["n_associations"],
+                "oracle_checked": checked,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,285 @@
+"""Hashed-probe-table classify path: ONE gather per window.
+
+The classic probe (classify/step.py) pays two dependent random gathers per
+window: an 8-byte (word, rank) row from a table as large as the Bloom
+bit-vector itself (2 GiB at the default -b 1), then a gene row. XLA's
+gather is issue-rate-limited (docs/PERF.md), so halving the number of
+gathered rows — and shrinking the table to the fast-gather regime — is the
+biggest perf lever on the probe path. Measured on v5e
+(bench/hash_gather_bench.py, in-session): 64-byte rows on a 64 MB table
+gather at ~158M rows/s vs ~104M for the 8-byte/2 GiB bf_rank rows, with a
+hard cliff to ~45M rows/s past 64 MB — hence MAX_TABLE_BYTES.
+
+This layout keys a bucketed open-addressing table directly on the BLOOM
+POSITION p = XXH64(kmer) % size (reference semantics: bloomfilter.h:88).
+Exactness is preserved by construction: the table stores p itself (split
+as bucket = low bits, rest = remaining bits), so membership answers are
+identical to the bit-vector's — including reference hash-collision
+behavior, since colliding k-mers share p and therefore share the entry.
+
+  bucket b = p & (n_buckets - 1)     n_buckets = min(2^ceil(lg n_set), 2^20)
+  row      = table[b]: 8 entries x 8 bytes = one 64-byte gather
+  entry    = (w0 = tag<<30 | p>>lgB,  w1 = payload)
+             tag 0 empty; 1 = one gene (payload low 16); 2 = TWO genes
+             (payload = g0 | g1<<16); 3 = payload = CSR rank, the gene row
+             comes from the classic gene_mat/ext_mat tables (degree >= 3,
+             rare — gathered under a batch-level cond so degree<=2 batches
+             never pay it)
+
+One entry per set position, so each probe has AT MOST ONE matching entry —
+the match reduces to one masked sum over the 8 lanes, no ranked select.
+Entries that overflow a bucket's 8 slots (load factor <= 2 keeps this to
+~1e-4 of buckets) go to a small stash compared against every probe on the
+VPU; its size is the next power of two of the actual spill count, so
+typical indexes pay ~32 lanes. Build declines (caller falls back to the
+classic kernel) when the stash would exceed STASH_CAP — transcriptome-scale
+indexes keep the classic two-gather path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shark_tpu.classify.step import (
+    StaticMeta,
+    _mod_size,
+    finish_kernel,
+    unpack_codes,
+)
+from shark_tpu.index.structure import SharkIndex
+from shark_tpu.ops.kmers import canonical_kmers_jax
+from shark_tpu.ops.xxh64 import xxh64_u64
+
+BUCKET_SLOTS = 8
+STASH_CAP = 256
+STASH_MIN = 32
+TAG_D1 = 1
+TAG_D2 = 2
+TAG_ROW = 3
+# Measured v5e gather cliff: tables past 64 MB drop from ~158M to ~45M
+# rows/s (bench/hash_gather_bench.py) — never build past it.
+MAX_TABLE_BYTES = 64 << 20
+MAX_BUCKETS = MAX_TABLE_BYTES // (8 * BUCKET_SLOTS)
+
+
+class HashedDeviceIndex(NamedTuple):
+    table: jnp.ndarray  # uint32[n_buckets, 2*BUCKET_SLOTS]
+    stash: jnp.ndarray  # uint32[S, 4]: pos_lo, pos_hi, tag, payload
+    gene_mat: jnp.ndarray  # uint16[n_set, D+1] (TAG_ROW targets only)
+    ext_mat: Optional[jnp.ndarray] = None
+
+
+@dataclass(frozen=True)
+class HashedMeta:
+    lgB: int  # log2(n_buckets)
+    has_rows: bool  # any degree >= 3 entry exists (enables the cond path)
+
+
+def _set_bit_positions(index: SharkIndex) -> np.ndarray:
+    """Ascending positions of set Bloom bits (uint64), aligned with CSR
+    rank order."""
+    nzw = np.flatnonzero(index.bf_words)
+    w = index.bf_words[nzw]
+    base = nzw.astype(np.uint64) << np.uint64(5)
+    parts = []
+    for b in range(32):
+        sel = (w >> np.uint32(b)) & np.uint32(1) == 1
+        parts.append(base[sel] | np.uint64(b))
+    pos = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+    pos.sort()
+    return pos
+
+
+def build_hashed_index(
+    index: SharkIndex,
+) -> Optional[Tuple[np.ndarray, np.ndarray, HashedMeta]]:
+    """(table, stash, meta) or None if this index should use the classic
+    path (stash overflow at the table-size cap, or rank capacity)."""
+    n_set = index.n_set_bits
+    if n_set == 0:
+        meta = HashedMeta(lgB=6, has_rows=False)
+        return (
+            np.zeros((64, 2 * BUCKET_SLOTS), np.uint32),
+            _pad_stash(np.empty((0, 4), np.uint32)),
+            meta,
+        )
+    if n_set >= 1 << 31:
+        return None  # int32 gene_mat addressing for TAG_ROW ranks
+    # lgB >= 6 keeps rest = p >> lgB within the 30-bit w0 field at the
+    # 2^36-bit MAX_SIZE_BITS ceiling
+    lgB = min(
+        max(6, int(np.ceil(np.log2(n_set)))),
+        int(np.log2(MAX_BUCKETS)),
+    )
+    n_buckets = 1 << lgB
+    if index.size_bits > (n_buckets << 30):
+        return None  # rest would not fit w0's 30 bits
+
+    pos = _set_bit_positions(index)
+    assert pos.size == n_set
+    deg = np.diff(index.offsets).astype(np.int64)
+    off = index.offsets[:-1].astype(np.int64)
+    gene_ids = np.asarray(index.gene_ids)
+    first_gene = gene_ids[np.minimum(off, gene_ids.size - 1)].astype(np.uint32)
+
+    tag = np.where(deg == 1, TAG_D1, np.where(deg == 2, TAG_D2, TAG_ROW))
+    payload = first_gene.copy()
+    d2 = deg == 2
+    if d2.any():
+        payload[d2] |= gene_ids[off[d2] + 1].astype(np.uint32) << 16
+    d3 = deg >= 3
+    if d3.any():
+        payload[d3] = np.flatnonzero(d3).astype(np.uint32)  # CSR rank
+
+    bucket = (pos & np.uint64(n_buckets - 1)).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    bucket_s = bucket[order]
+    pos_s = pos[order]
+    tag_s = tag[order].astype(np.uint32)
+    pay_s = payload[order]
+    _, starts, counts = np.unique(
+        bucket_s, return_index=True, return_counts=True
+    )
+    slot = np.arange(n_set, dtype=np.int64) - np.repeat(starts, counts)
+    in_table = slot < BUCKET_SLOTS
+    spill = np.flatnonzero(~in_table)
+    if spill.size > STASH_CAP:
+        return None
+
+    table = np.zeros((n_buckets, 2 * BUCKET_SLOTS), dtype=np.uint32)
+    rest = (pos_s >> np.uint64(lgB)).astype(np.uint32)
+    tb = bucket_s[in_table]
+    ts = slot[in_table]
+    table[tb, 2 * ts] = (tag_s[in_table] << 30) | rest[in_table]
+    table[tb, 2 * ts + 1] = pay_s[in_table]
+
+    stash = np.empty((spill.size, 4), dtype=np.uint32)
+    stash[:, 0] = (pos_s[spill] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    stash[:, 1] = (pos_s[spill] >> np.uint64(32)).astype(np.uint32)
+    stash[:, 2] = tag_s[spill]
+    stash[:, 3] = pay_s[spill]
+    return (
+        table,
+        _pad_stash(stash),
+        HashedMeta(lgB=lgB, has_rows=bool(d3.any())),
+    )
+
+
+def _pad_stash(stash: np.ndarray) -> np.ndarray:
+    """Pad to the next power of two >= STASH_MIN with rows that can never
+    match a real probe (pos_hi of a real position is < 2^4)."""
+    n = max(STASH_MIN, 1 << int(np.ceil(np.log2(max(1, stash.shape[0])))))
+    pad = np.full((n - stash.shape[0], 4), 0xFFFFFFFF, np.uint32)
+    return np.vstack([stash, pad]) if stash.size else pad
+
+
+def classify_kernel_hashed(
+    dix: HashedDeviceIndex,
+    thresh: jnp.ndarray,
+    codes: jnp.ndarray,  # uint8[B, L]
+    *,
+    meta: StaticMeta,
+    hmeta: HashedMeta,
+    max_winners: int,
+):
+    """One bucket gather per window -> at most one entry match -> synthetic
+    gene rows -> the shared coverage/winner reduction (finish_kernel).
+    Bit-exact with the classic kernel by construction."""
+    B, L = codes.shape
+    k = meta.k
+    D = meta.degree
+
+    canon, win_valid = canonical_kmers_jax(codes, k)
+    s = min(k - 1, L - 1)
+    canon = (canon[0][:, s:], canon[1][:, s:])
+    win_valid = win_valid[:, s:]
+    h = xxh64_u64(canon)
+    idx_hi, idx_lo = _mod_size(h, meta.size_bits)
+
+    lgB = hmeta.lgB
+    bucket = (idx_lo & jnp.uint32((1 << lgB) - 1)).astype(jnp.int32)
+    rest = (idx_lo >> lgB) | (idx_hi << (32 - lgB))
+
+    row = jnp.take(dix.table, bucket, axis=0)  # [B, Ls, 16]: ONE gather
+    w0 = row[..., 0::2]
+    w1 = row[..., 1::2]
+    lane_tag = w0 >> 30
+    m = (
+        ((w0 & jnp.uint32(0x3FFFFFFF)) == rest[..., None])
+        & (lane_tag != 0)
+        & win_valid[..., None]
+    )
+    # one entry per position => at most one lane matches: plain masked sums
+    tagv = jnp.sum(jnp.where(m, lane_tag, 0), axis=-1)
+    payv = jnp.sum(jnp.where(m, w1, 0), axis=-1)
+
+    # stash lanes: full-position compare (bucket spills — no locality)
+    st = dix.stash  # [S, 4]
+    sm = (
+        (idx_lo[..., None] == st[:, 0][None, None, :])
+        & (idx_hi[..., None] == st[:, 1][None, None, :])
+        & win_valid[..., None]
+    )
+    tagv = tagv + jnp.sum(
+        jnp.where(sm, st[:, 2][None, None, :], 0), axis=-1
+    )
+    payv = payv + jnp.sum(
+        jnp.where(sm, st[:, 3][None, None, :], 0), axis=-1
+    )
+
+    hit = tagv != 0
+    n_gene = jnp.where(tagv == TAG_D2, 2, jnp.where(tagv == TAG_D1, 1, 0))
+
+    # synthetic gene rows feed the shared reduction
+    Ls = hit.shape[1]
+    gm = jnp.zeros((B, Ls, D + 1), dtype=jnp.uint16)
+    gm = gm.at[..., 0].set(n_gene.astype(jnp.uint16))
+    gm = gm.at[..., 1].set((payv & 0xFFFF).astype(jnp.uint16))
+    if D >= 2:
+        gm = gm.at[..., 2].set(
+            jnp.where(tagv == TAG_D2, payv >> 16, 0).astype(jnp.uint16)
+        )
+
+    if hmeta.has_rows:
+        is_row = tagv == TAG_ROW
+        row_idx = jnp.where(is_row, payv, 0).astype(jnp.int32)
+
+        def with_rows(_):
+            return jnp.take(dix.gene_mat, row_idx, axis=0)
+
+        def without(_):
+            return jnp.zeros((B, Ls, D + 1), dtype=jnp.uint16)
+
+        gm_rows = jax.lax.cond(jnp.any(is_row), with_rows, without, None)
+        gm = jnp.where(is_row[..., None], gm_rows, gm)
+
+    return finish_kernel(
+        gm,
+        hit,
+        codes,
+        thresh,
+        meta=meta,
+        max_winners=max_winners,
+        ext_mat=dix.ext_mat,
+    )
+
+
+def classify_kernel_hashed_packed(
+    dix: HashedDeviceIndex,
+    thresh: jnp.ndarray,
+    packed: jnp.ndarray,
+    vmask: jnp.ndarray,
+    *,
+    meta: StaticMeta,
+    hmeta: HashedMeta,
+    max_winners: int,
+):
+    codes = unpack_codes(packed, vmask)
+    return classify_kernel_hashed(
+        dix, thresh, codes, meta=meta, hmeta=hmeta, max_winners=max_winners
+    )

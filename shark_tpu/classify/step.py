@@ -568,9 +568,13 @@ class Classifier:
     """Holds the device-resident index and a cache of jitted kernels keyed by
     padded batch geometry.
 
-    (Kernel-selection history: a single-gather "fast" layout measured ~30%
-    slower on v5e in both miss- and hit-heavy regimes — see
-    bench/fast_kernel.py and docs/PERF.md for the negative result.)"""
+    Probe-path selection (`probe`): "hashed" = one gather into a
+    position-keyed bucket table (classify/hashed.py) — the fast path when
+    the table fits its byte budget; "classic" = two gathers (bf_rank +
+    gene rows) — unconditionally correct at any scale; None = auto
+    (hashed when buildable). A third, single-gather "fast" layout measured
+    ~30% slower on v5e and lives as a negative result in
+    bench/fast_kernel.py."""
 
     def __init__(
         self,
@@ -578,6 +582,7 @@ class Classifier:
         max_winners: int = 16,
         c: float = 0.6,
         device=None,
+        probe: Optional[str] = None,
     ):
         self.index = index
         self.max_winners = max_winners
@@ -586,14 +591,49 @@ class Classifier:
         # global jax.devices()[0] may live on another process
         dev = device or jax.local_devices()[0]
         self._dev = dev
-        bf_rank, gene_mat, ext_mat = build_device_index(index)
-        self.dix = DeviceIndex(
-            bf_rank=jax.device_put(bf_rank, dev),
-            gene_mat=jax.device_put(gene_mat, dev),
-            ext_mat=(
-                jax.device_put(ext_mat, dev) if ext_mat is not None else None
-            ),
-        )
+        built = None
+        if probe in (None, "hashed"):
+            from shark_tpu.classify.hashed import (
+                HashedDeviceIndex,
+                build_hashed_index,
+            )
+
+            built = build_hashed_index(index)
+            if built is None and probe == "hashed":
+                raise ValueError(
+                    "hashed probe table not buildable for this index "
+                    "(table budget / stash overflow); use probe='classic'"
+                )
+        if built is not None:
+            table, stash, self._hmeta = built
+            gene_mat, ext_mat = (
+                build_gene_mat(index)
+                if self._hmeta.has_rows
+                else (np.zeros((1, 2), np.uint16), None)
+            )
+            self.dix = HashedDeviceIndex(
+                table=jax.device_put(table, dev),
+                stash=jax.device_put(stash, dev),
+                gene_mat=jax.device_put(gene_mat, dev),
+                ext_mat=(
+                    jax.device_put(ext_mat, dev)
+                    if ext_mat is not None
+                    else None
+                ),
+            )
+            self.probe = "hashed"
+        else:
+            bf_rank, gene_mat, ext_mat = build_device_index(index)
+            self.dix = DeviceIndex(
+                bf_rank=jax.device_put(bf_rank, dev),
+                gene_mat=jax.device_put(gene_mat, dev),
+                ext_mat=(
+                    jax.device_put(ext_mat, dev)
+                    if ext_mat is not None
+                    else None
+                ),
+            )
+            self.probe = "classic"
         self._fns = {}
         self._thresh = {}
 
@@ -602,12 +642,27 @@ class Classifier:
         fn = self._fns.get(key)
         if fn is None:
             meta = StaticMeta.for_index(self.index, L)
-            kern = classify_kernel_packed if packed else classify_kernel
-            fn = jax.jit(
-                functools.partial(
-                    kern, meta=meta, max_winners=self.max_winners
+            if self.probe == "hashed":
+                from shark_tpu.classify.hashed import (
+                    classify_kernel_hashed,
+                    classify_kernel_hashed_packed,
                 )
-            )
+
+                kern = functools.partial(
+                    classify_kernel_hashed_packed
+                    if packed
+                    else classify_kernel_hashed,
+                    meta=meta,
+                    hmeta=self._hmeta,
+                    max_winners=self.max_winners,
+                )
+            else:
+                kern = functools.partial(
+                    classify_kernel_packed if packed else classify_kernel,
+                    meta=meta,
+                    max_winners=self.max_winners,
+                )
+            fn = jax.jit(kern)
             self._fns[key] = fn
             if L not in self._thresh:
                 self._thresh[L] = jax.device_put(

@@ -36,6 +36,7 @@ class DataParallelClassifier:
         c: float = 0.6,
         n_devices: int = 0,
         mesh=None,
+        probe=None,
     ):
         self.index = index
         self.max_winners = max_winners
@@ -44,14 +45,48 @@ class DataParallelClassifier:
         self.n_devices = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
         repl = NamedSharding(self.mesh, P())
         self._repl = repl
-        bf_rank, gene_mat, ext_mat = build_device_index(index)
-        self.dix = DeviceIndex(
-            bf_rank=jax.device_put(bf_rank, repl),
-            gene_mat=jax.device_put(gene_mat, repl),
-            ext_mat=(
-                jax.device_put(ext_mat, repl) if ext_mat is not None else None
-            ),
-        )
+        built = None
+        if probe in (None, "hashed"):
+            from shark_tpu.classify.hashed import (
+                HashedDeviceIndex,
+                build_hashed_index,
+            )
+
+            built = build_hashed_index(index)
+            if built is None and probe == "hashed":
+                raise ValueError("hashed probe table not buildable")
+        if built is not None:
+            from shark_tpu.classify.step import build_gene_mat
+
+            table, stash, self._hmeta = built
+            gene_mat, ext_mat = (
+                build_gene_mat(index)
+                if self._hmeta.has_rows
+                else (np.zeros((1, 2), np.uint16), None)
+            )
+            self.dix = HashedDeviceIndex(
+                table=jax.device_put(table, repl),
+                stash=jax.device_put(stash, repl),
+                gene_mat=jax.device_put(gene_mat, repl),
+                ext_mat=(
+                    jax.device_put(ext_mat, repl)
+                    if ext_mat is not None
+                    else None
+                ),
+            )
+            self.probe = "hashed"
+        else:
+            bf_rank, gene_mat, ext_mat = build_device_index(index)
+            self.dix = DeviceIndex(
+                bf_rank=jax.device_put(bf_rank, repl),
+                gene_mat=jax.device_put(gene_mat, repl),
+                ext_mat=(
+                    jax.device_put(ext_mat, repl)
+                    if ext_mat is not None
+                    else None
+                ),
+            )
+            self.probe = "classic"
         self._fns = {}
         self._thresh = {}
 
@@ -61,29 +96,33 @@ class DataParallelClassifier:
         if fn is None:
             meta = StaticMeta.for_index(self.index, L)
             batch_sharded = NamedSharding(self.mesh, P("dp"))
-            kern = functools.partial(
-                classify_kernel_packed if packed else classify_kernel,
-                meta=meta,
-                max_winners=self.max_winners,
-            )
+            if self.probe == "hashed":
+                from shark_tpu.classify.hashed import (
+                    classify_kernel_hashed,
+                    classify_kernel_hashed_packed,
+                )
+
+                kern = functools.partial(
+                    classify_kernel_hashed_packed
+                    if packed
+                    else classify_kernel_hashed,
+                    meta=meta,
+                    hmeta=self._hmeta,
+                    max_winners=self.max_winners,
+                )
+            else:
+                kern = functools.partial(
+                    classify_kernel_packed if packed else classify_kernel,
+                    meta=meta,
+                    max_winners=self.max_winners,
+                )
             data_shardings = (
                 (batch_sharded, batch_sharded) if packed else (batch_sharded,)
             )
+            dix_spec = jax.tree.map(lambda _: self._repl, self.dix)
             fn = jax.jit(
                 kern,
-                in_shardings=(
-                    DeviceIndex(
-                        bf_rank=self._repl,
-                        gene_mat=self._repl,
-                        ext_mat=(
-                            self._repl
-                            if self.dix.ext_mat is not None
-                            else None
-                        ),
-                    ),
-                    self._repl,
-                )
-                + data_shardings,
+                in_shardings=(dix_spec, self._repl) + data_shardings,
                 out_shardings=(
                     batch_sharded,
                     batch_sharded,

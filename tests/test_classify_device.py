@@ -130,6 +130,71 @@ def test_emit_threshold_table_matches_float64():
             assert float(th) >= c * float(l), (c, l)
 
 
+def test_hashed_kernel_matches_classic(workload):
+    """The one-gather hashed probe path must equal the classic two-gather
+    kernel bit for bit on a collision-heavy index (shared positions,
+    degree >= 3 rows, stash spills all possible here)."""
+    _, reads, index, _ = workload
+    L = 128
+    codes = np.full((len(reads), L), 4, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_bytes(r)
+    classic = Classifier(index, max_winners=24, probe="classic")
+    hashed = Classifier(index, max_winners=24, probe="hashed")
+    assert hashed.probe == "hashed"
+    ref = [np.asarray(x) for x in classic(codes)]
+    got = [np.asarray(x) for x in hashed(codes)]
+    for name, a, b in zip(("packed", "winners", "best_cov", "length"), ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_hashed_build_covers_all_positions(workload):
+    """Every set position resolves to its exact CSR gene list through the
+    table+stash (membership oracle equivalence)."""
+    from shark_tpu.classify.hashed import (
+        BUCKET_SLOTS,
+        TAG_D1,
+        TAG_D2,
+        TAG_ROW,
+        _set_bit_positions,
+        build_hashed_index,
+    )
+
+    _, _, index, oracle = workload
+    table, stash, hmeta = build_hashed_index(index)
+    positions = _set_bit_positions(index)
+    mask = (1 << hmeta.lgB) - 1
+
+    def decode(tag, payload, p):
+        if tag == TAG_D1:
+            return [payload & 0xFFFF]
+        if tag == TAG_D2:
+            return [payload & 0xFFFF, payload >> 16]
+        assert tag == TAG_ROW
+        lo, hi = index.offsets[payload], index.offsets[payload + 1]
+        return index.gene_ids[lo:hi].tolist()
+
+    n_stash_hits = 0
+    for p in positions[:: max(1, positions.size // 500)]:
+        want = index.membership(int(p)).tolist()
+        got = None
+        row = table[int(p) & mask]
+        rest = int(p) >> hmeta.lgB
+        for s in range(BUCKET_SLOTS):
+            w0, w1 = int(row[2 * s]), int(row[2 * s + 1])
+            if (w0 & 0x3FFFFFFF) == rest and (w0 >> 30) != 0:
+                assert got is None  # at most one entry per position
+                got = decode(w0 >> 30, w1, p)
+        for srow in np.asarray(stash):
+            if int(srow[0]) == (int(p) & 0xFFFFFFFF) and int(srow[1]) == (
+                int(p) >> 32
+            ):
+                assert got is None
+                got = decode(int(srow[2]), int(srow[3]), p)
+                n_stash_hits += 1
+        assert got == want, p
+
+
 def _fast_kernel_mod():
     """Load the quarantined single-gather kernel (bench/fast_kernel.py —
     a documented negative result kept runnable for future-hardware A/B)."""
