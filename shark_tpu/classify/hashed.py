@@ -18,7 +18,10 @@ identical to the bit-vector's — including reference hash-collision
 behavior, since colliding k-mers share p and therefore share the entry.
 
   bucket b = p & (n_buckets - 1)     n_buckets = min(2^ceil(lg n_set), 2^20)
-  row      = table[b]: 8 entries x 8 bytes = one 64-byte gather
+  row      = table[b]: 8 entries x 8 bytes = one 64-byte gather, stored
+             PLANAR ([n, 2, 8]: all w0 lanes then all w1 lanes — strided
+             lane slices of an interleaved row cost a cross-lane relayout,
+             ~20 ms/batch measured; planar slicing is free)
   entry    = (w0 = tag<<30 | p>>lgB,  w1 = payload)
              tag 0 empty; 1 = one gene (payload low 16); 2 = TWO genes
              (payload = g0 | g1<<16); 3 = payload = CSR rank, the gene row
@@ -48,9 +51,11 @@ import numpy as np
 from shark_tpu.classify.step import (
     StaticMeta,
     _mod_size,
-    finish_kernel,
+    finish_from_keys,
+    keys_from_gm,
     unpack_codes,
 )
+from shark_tpu.ops.kmers import INVALID
 from shark_tpu.index.structure import SharkIndex
 from shark_tpu.ops.kmers import canonical_kmers_jax
 from shark_tpu.ops.xxh64 import xxh64_u64
@@ -68,7 +73,7 @@ MAX_BUCKETS = MAX_TABLE_BYTES // (8 * BUCKET_SLOTS)
 
 
 class HashedDeviceIndex(NamedTuple):
-    table: jnp.ndarray  # uint32[n_buckets, 2*BUCKET_SLOTS]
+    table: jnp.ndarray  # uint32[n_buckets, 2, BUCKET_SLOTS]: w0 plane, w1 plane
     stash: jnp.ndarray  # uint32[S, 4]: pos_lo, pos_hi, tag, payload
     gene_mat: jnp.ndarray  # uint16[n_set, D+1] (TAG_ROW targets only)
     ext_mat: Optional[jnp.ndarray] = None
@@ -104,7 +109,7 @@ def build_hashed_index(
     if n_set == 0:
         meta = HashedMeta(lgB=6, has_rows=False)
         return (
-            np.zeros((64, 2 * BUCKET_SLOTS), np.uint32),
+            np.zeros((64, 2, BUCKET_SLOTS), np.uint32),
             _pad_stash(np.empty((0, 4), np.uint32)),
             meta,
         )
@@ -151,12 +156,12 @@ def build_hashed_index(
     if spill.size > STASH_CAP:
         return None
 
-    table = np.zeros((n_buckets, 2 * BUCKET_SLOTS), dtype=np.uint32)
+    table = np.zeros((n_buckets, 2, BUCKET_SLOTS), dtype=np.uint32)
     rest = (pos_s >> np.uint64(lgB)).astype(np.uint32)
     tb = bucket_s[in_table]
     ts = slot[in_table]
-    table[tb, 2 * ts] = (tag_s[in_table] << 30) | rest[in_table]
-    table[tb, 2 * ts + 1] = pay_s[in_table]
+    table[tb, 0, ts] = (tag_s[in_table] << 30) | rest[in_table]
+    table[tb, 1, ts] = pay_s[in_table]
 
     stash = np.empty((spill.size, 4), dtype=np.uint32)
     stash[:, 0] = (pos_s[spill] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
@@ -187,9 +192,13 @@ def classify_kernel_hashed(
     hmeta: HashedMeta,
     max_winners: int,
 ):
-    """One bucket gather per window -> at most one entry match -> synthetic
-    gene rows -> the shared coverage/winner reduction (finish_kernel).
-    Bit-exact with the classic kernel by construction."""
+    """One bucket gather per window -> at most one entry match -> direct
+    (gene << pos_bits | pos) sort keys -> the shared coverage/winner
+    reduction. Bit-exact with the classic kernel by construction. Profiled
+    layout choices (bench/profile_hashed.py, in-session): planar table
+    slicing costs ~1.6 ms/batch vs ~20 ms for strided lane slices of an
+    interleaved row; building keys directly skips the ~17 ms synthetic
+    [B, Ls, D+1] gene-row materialization."""
     B, L = codes.shape
     k = meta.k
     D = meta.degree
@@ -200,14 +209,15 @@ def classify_kernel_hashed(
     win_valid = win_valid[:, s:]
     h = xxh64_u64(canon)
     idx_hi, idx_lo = _mod_size(h, meta.size_bits)
+    length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
 
     lgB = hmeta.lgB
     bucket = (idx_lo & jnp.uint32((1 << lgB) - 1)).astype(jnp.int32)
     rest = (idx_lo >> lgB) | (idx_hi << (32 - lgB))
 
-    row = jnp.take(dix.table, bucket, axis=0)  # [B, Ls, 16]: ONE gather
-    w0 = row[..., 0::2]
-    w1 = row[..., 1::2]
+    row = jnp.take(dix.table, bucket, axis=0)  # [B, Ls, 2, 8]: ONE gather
+    w0 = row[..., 0, :]
+    w1 = row[..., 1, :]
     lane_tag = w0 >> 30
     m = (
         ((w0 & jnp.uint32(0x3FFFFFFF)) == rest[..., None])
@@ -232,40 +242,64 @@ def classify_kernel_hashed(
         jnp.where(sm, st[:, 3][None, None, :], 0), axis=-1
     )
 
-    hit = tagv != 0
-    n_gene = jnp.where(tagv == TAG_D2, 2, jnp.where(tagv == TAG_D1, 1, 0))
-
-    # synthetic gene rows feed the shared reduction
-    Ls = hit.shape[1]
-    gm = jnp.zeros((B, Ls, D + 1), dtype=jnp.uint16)
-    gm = gm.at[..., 0].set(n_gene.astype(jnp.uint16))
-    gm = gm.at[..., 1].set((payv & 0xFFFF).astype(jnp.uint16))
-    if D >= 2:
-        gm = gm.at[..., 2].set(
-            jnp.where(tagv == TAG_D2, payv >> 16, 0).astype(jnp.uint16)
-        )
+    # direct sort keys for the degree<=2 fast path
+    Ls = tagv.shape[1]
+    off = L - Ls
+    pos_bits = meta.pos_bits
+    pos_u32 = jnp.broadcast_to(
+        (jnp.arange(Ls, dtype=jnp.uint32) + off)[None, :], (B, Ls)
+    )
+    sentinel = jnp.uint32(meta.n_genes << pos_bits)
+    keys = [
+        jnp.where(
+            (tagv == TAG_D1) | (tagv == TAG_D2),
+            ((payv & 0xFFFF) << pos_bits) | pos_u32,
+            sentinel,
+        ),
+        jnp.where(
+            tagv == TAG_D2, ((payv >> 16) << pos_bits) | pos_u32, sentinel
+        ),
+    ]
+    row_ovf = jnp.zeros((B,), dtype=jnp.bool_)
 
     if hmeta.has_rows:
+        # degree >= 3: resolve through the classic gene row tables, under a
+        # batch-level cond so degree<=2 batches never pay the gather
         is_row = tagv == TAG_ROW
         row_idx = jnp.where(is_row, payv, 0).astype(jnp.int32)
 
         def with_rows(_):
-            return jnp.take(dix.gene_mat, row_idx, axis=0)
+            gm = jnp.take(dix.gene_mat, row_idx, axis=0)
+            ks, ovf = keys_from_gm(
+                gm, is_row, meta=meta, L=L, off=off, ext_mat=dix.ext_mat
+            )
+            return tuple(ks), ovf
 
         def without(_):
-            return jnp.zeros((B, Ls, D + 1), dtype=jnp.uint16)
+            from shark_tpu.classify.step import EXT_CAP2
 
-        gm_rows = jax.lax.cond(jnp.any(is_row), with_rows, without, None)
-        gm = jnp.where(is_row[..., None], gm_rows, gm)
+            ks = [jnp.full((B, Ls), sentinel) for _ in range(D)]
+            if meta.ext_w and dix.ext_mat is not None:
+                ks += [
+                    jnp.full((B, EXT_CAP2), sentinel)
+                    for _ in range(meta.ext_w)
+                ]
+            return tuple(ks), jnp.zeros((B,), dtype=jnp.bool_)
 
-    return finish_kernel(
-        gm,
-        hit,
-        codes,
+        row_keys, row_ovf = jax.lax.cond(
+            jnp.any(is_row), with_rows, without, None
+        )
+        keys.extend(row_keys)
+
+    key_mat = jnp.concatenate(keys, axis=1)
+    return finish_from_keys(
+        key_mat,
+        length,
         thresh,
+        row_ovf,
         meta=meta,
         max_winners=max_winners,
-        ext_mat=dix.ext_mat,
+        L=L,
     )
 
 

@@ -371,6 +371,39 @@ def finish_kernel(
     assert gm.shape[-1] == D + 1
 
     length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
+    keys, row_ovf = keys_from_gm(
+        gm, hit, meta=meta, L=L, off=off, ext_mat=ext_mat
+    )
+    key_mat = jnp.concatenate(keys, axis=1)
+    return finish_from_keys(
+        key_mat,
+        length,
+        thresh,
+        row_ovf,
+        meta=meta,
+        max_winners=max_winners,
+        L=L,
+    )
+
+
+def keys_from_gm(
+    gm: jnp.ndarray,  # uint16[B, Ls, D+1]
+    hit: jnp.ndarray,  # bool[B, Ls]
+    *,
+    meta: StaticMeta,
+    L: int,
+    off: int,
+    ext_mat: Optional[jnp.ndarray],
+):
+    """(gene << pos_bits | pos) sort-key blocks from per-window gene rows,
+    handling the capped-degree inline/extension layout. Returns
+    (list of uint32[B, *] blocks, row_ovf bool[B]). Shared by the classic
+    kernel (all windows) and the hashed kernel's rare degree>=3 cond
+    branch."""
+    B, Ls = hit.shape
+    D = meta.degree
+    G = meta.n_genes
+    pos_bits = meta.pos_bits
     deg = jnp.where(hit, gm[..., 0].astype(jnp.int32), 0)
 
     pos_i32 = jnp.broadcast_to(
@@ -385,56 +418,43 @@ def finish_kernel(
             g = gm[..., 1 + d].astype(jnp.uint32)
             key = (g << pos_bits) | pos_u32
             keys.append(jnp.where(hit & (d < deg), key, sentinel))
-    else:
-        # inline slots: all D when deg <= D, else the first D-2 (the last
-        # two hold the extension-row index)
-        over = deg > D
-        for d in range(D):
-            g = gm[..., 1 + d].astype(jnp.uint32)
-            key = (g << pos_bits) | pos_u32
-            ok = hit & (d < deg) & (~over if d >= D - 2 else True)
-            keys.append(jnp.where(ok, key, sentinel))
-        needy = hit & over
-        if ext_mat is None:
-            # no extension table on this path: exact host recompute
-            row_ovf = jnp.any(needy, axis=1)
-        else:
-            cap2 = EXT_CAP2
-            need_pos = jnp.where(needy, pos_i32, L)
-            sneed = jnp.sort(need_pos, axis=1)[:, :cap2]  # [B, cap2]
-            svalid = sneed < L
-            sneed_c = jnp.minimum(sneed, L - 1)
-            scol = jnp.maximum(sneed_c - off, 0)
-            gm2 = jnp.take_along_axis(gm, scol[..., None], axis=1)
-            erow = gm2[..., D - 1].astype(jnp.int32) | (
-                gm2[..., D].astype(jnp.int32) << 16
-            )
-            eg = jnp.take(
-                ext_mat, jnp.where(svalid, erow, 0), axis=0
-            )  # [B, cap2, ext_w]
-            resid = jnp.where(
-                svalid, gm2[..., 0].astype(jnp.int32) - (D - 2), 0
-            )
-            spos = sneed_c.astype(jnp.uint32)
-            for d in range(meta.ext_w):
-                g = eg[..., d].astype(jnp.uint32)
-                key = (g << pos_bits) | spos
-                keys.append(
-                    jnp.where(svalid & (d < resid), key, sentinel)
-                )
-            row_ovf = (
-                jnp.sum(needy.astype(jnp.int32), axis=1) > cap2
-            ) | jnp.any(needy & (deg - (D - 2) > meta.ext_w), axis=1)
-    key_mat = jnp.concatenate(keys, axis=1)
-    return finish_from_keys(
-        key_mat,
-        length,
-        thresh,
-        row_ovf,
-        meta=meta,
-        max_winners=max_winners,
-        L=L,
+        return keys, row_ovf
+    # inline slots: all D when deg <= D, else the first D-2 (the last
+    # two hold the extension-row index)
+    over = deg > D
+    for d in range(D):
+        g = gm[..., 1 + d].astype(jnp.uint32)
+        key = (g << pos_bits) | pos_u32
+        ok = hit & (d < deg) & (~over if d >= D - 2 else True)
+        keys.append(jnp.where(ok, key, sentinel))
+    needy = hit & over
+    if ext_mat is None:
+        # no extension table on this path: exact host recompute
+        row_ovf = jnp.any(needy, axis=1)
+        return keys, row_ovf
+    cap2 = EXT_CAP2
+    need_pos = jnp.where(needy, pos_i32, L)
+    sneed = jnp.sort(need_pos, axis=1)[:, :cap2]  # [B, cap2]
+    svalid = sneed < L
+    sneed_c = jnp.minimum(sneed, L - 1)
+    scol = jnp.maximum(sneed_c - off, 0)
+    gm2 = jnp.take_along_axis(gm, scol[..., None], axis=1)
+    erow = gm2[..., D - 1].astype(jnp.int32) | (
+        gm2[..., D].astype(jnp.int32) << 16
     )
+    eg = jnp.take(
+        ext_mat, jnp.where(svalid, erow, 0), axis=0
+    )  # [B, cap2, ext_w]
+    resid = jnp.where(svalid, gm2[..., 0].astype(jnp.int32) - (D - 2), 0)
+    spos = sneed_c.astype(jnp.uint32)
+    for d in range(meta.ext_w):
+        g = eg[..., d].astype(jnp.uint32)
+        key = (g << pos_bits) | spos
+        keys.append(jnp.where(svalid & (d < resid), key, sentinel))
+    row_ovf = (jnp.sum(needy.astype(jnp.int32), axis=1) > cap2) | jnp.any(
+        needy & (deg - (D - 2) > meta.ext_w), axis=1
+    )
+    return keys, row_ovf
 
 
 def finish_from_keys(

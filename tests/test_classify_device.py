@@ -181,7 +181,7 @@ def test_hashed_build_covers_all_positions(workload):
         row = table[int(p) & mask]
         rest = int(p) >> hmeta.lgB
         for s in range(BUCKET_SLOTS):
-            w0, w1 = int(row[2 * s]), int(row[2 * s + 1])
+            w0, w1 = int(row[0, s]), int(row[1, s])
             if (w0 & 0x3FFFFFFF) == rest and (w0 >> 30) != 0:
                 assert got is None  # at most one entry per position
                 got = decode(w0 >> 30, w1, p)
