@@ -28,8 +28,15 @@ FastqRecord = Tuple[str, bytes, bytes]
 
 
 def _round_len(n: int, k: int) -> int:
-    """Bucket padded lengths to bound recompiles: next power of two >= 128."""
-    n = max(n, k, 128)
+    """Bucket padded lengths to bound recompiles while keeping probe
+    windows tight (tight %8 padding measured 1.23x over pow2>=128 on
+    100bp reads, docs/PERF.md): multiples of 8 up to 256, of 32 up to
+    1024, then powers of two."""
+    n = max(n, k, 8)
+    if n <= 256:
+        return (n + 7) & ~7
+    if n <= 1024:
+        return (n + 31) & ~31
     return 1 << int(np.ceil(np.log2(n)))
 
 
