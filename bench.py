@@ -61,7 +61,7 @@ def gen_workload():
     fq_p1 = os.path.join(CACHE, "pairs_1.fq")
     fq_p2 = os.path.join(CACHE, "pairs_2.fq")
     stamp = os.path.join(
-        CACHE, f"stamp2_{N_GENES}x{GENE_LEN}_{N_READS}x{READ_LEN}"
+        CACHE, f"stamp3_{N_GENES}x{GENE_LEN}_{N_READS}x{READ_LEN}"
     )
     paths = (fasta, fastq, fastq_q, fq_p1, fq_p2)
     if os.path.exists(stamp):
@@ -102,9 +102,13 @@ def gen_workload():
             arr = read_from(int(gidx[i]), int(starts[i]))
             rec_head = b"@r%07d\n" % i
             f.write(rec_head + arr.tobytes() + b"\n+\n" + qual_const + b"\n")
-            # quality workload: same reads, phred 2..40 uniform (q10 masks
-            # ~22% of bases -> real masking work on host and device)
-            q = (rng.integers(2, 41, size=READ_LEN) + 33).astype(np.uint8)
+            # quality workload: same reads, Illumina-like profile — ~97%
+            # of bases q30..40, ~3% q2..19 (q10 masks ~1.6% of bases, so
+            # masking does real work without zeroing out the k-mer stream)
+            q = rng.integers(30, 41, size=READ_LEN)
+            low = rng.random(READ_LEN) < 0.03
+            q[low] = rng.integers(2, 20, size=int(low.sum()))
+            q = (q + 33).astype(np.uint8)
             fq.write(rec_head + arr.tobytes() + b"\n+\n" + q.tobytes() + b"\n")
     with open(fq_p1, "wb") as f1, open(fq_p2, "wb") as f2:
         gidx = rng.integers(0, N_GENES, size=N_PAIRS)
@@ -151,7 +155,10 @@ def run_baseline(fasta, fastq, fastq2="", minq=0, best_of=3) -> dict:
     return best
 
 
-def run_tpu(fasta, fastq, fastq2="", minq=0, max_len=MAX_LEN, passes=2):
+def run_tpu(
+    fasta, fastq, fastq2="", minq=0, max_len=MAX_LEN, passes=2,
+    batch_size=65536,
+):
     from shark_tpu.config import SharkConfig
     from shark_tpu.pipeline import run_pipeline
 
@@ -166,7 +173,7 @@ def run_tpu(fasta, fastq, fastq2="", minq=0, max_len=MAX_LEN, passes=2):
         c=C,
         bf_gb=BF_BITS >> 33,
         min_quality=minq,
-        batch_size=65536,
+        batch_size=batch_size,
         max_read_len=max_len,
     )
     idx_dir = os.path.join(CACHE, "index.d")

@@ -54,7 +54,10 @@ def main():
     cfg.save_index = "" if cfg.load_index else idx_dir
     index = load_or_build_index(cfg, PhaseTimer())
     meta = StaticMeta.for_index(index, L)
-    table_i, stash, hmeta = build_hashed_index(index)
+    table_p0, stash, hmeta = build_hashed_index(index)  # planar [n, 2, 8]
+    table_i = np.ascontiguousarray(
+        table_p0.transpose(0, 2, 1).reshape(-1, 16)
+    )  # interleaved [n, 16] variant
     lgB = hmeta.lgB
     k = meta.k
 
@@ -66,9 +69,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    table_p = np.ascontiguousarray(
-        table_i.reshape(-1, 8, 2).transpose(0, 2, 1)
-    )  # planar [n, 2, 8]: w0 plane then w1 plane
+    table_p = table_p0  # planar [n, 2, 8]: w0 plane then w1 plane
     dev = jax.devices()[0]
     ti = jax.device_put(table_i, dev)
     tp = jax.device_put(table_p, dev)
@@ -204,7 +205,7 @@ def main():
     )
 
     dix = HashedDeviceIndex(
-        table=ti,
+        table=tp,
         stash=stash_d,
         gene_mat=jax.device_put(np.zeros((1, 2), np.uint16), dev),
         ext_mat=None,

@@ -62,6 +62,7 @@ from shark_tpu.ops.xxh64 import xxh64_u64
 
 BUCKET_SLOTS = 8
 STASH_CAP = 256
+SMALL_STASH = 64  # cap when shrinking below the natural bucket count
 STASH_MIN = 32
 TAG_D1 = 1
 TAG_D2 = 2
@@ -102,9 +103,11 @@ def _set_bit_positions(index: SharkIndex) -> np.ndarray:
 
 def build_hashed_index(
     index: SharkIndex,
+    prefer_small: bool = True,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, HashedMeta]]:
     """(table, stash, meta) or None if this index should use the classic
-    path (stash overflow at the table-size cap, or rank capacity)."""
+    path (stash overflow at the table-size cap, or rank capacity).
+    prefer_small=False pins the natural bucket count (A/B control)."""
     n_set = index.n_set_bits
     if n_set == 0:
         meta = HashedMeta(lgB=6, has_rows=False)
@@ -117,16 +120,36 @@ def build_hashed_index(
         return None  # int32 gene_mat addressing for TAG_ROW ranks
     # lgB >= 6 keeps rest = p >> lgB within the 30-bit w0 field at the
     # 2^36-bit MAX_SIZE_BITS ceiling
-    lgB = min(
+    lgB_def = min(
         max(6, int(np.ceil(np.log2(n_set)))),
         int(np.log2(MAX_BUCKETS)),
     )
-    n_buckets = 1 << lgB
-    if index.size_bits > (n_buckets << 30):
-        return None  # rest would not fit w0's 30 bits
 
     pos = _set_bit_positions(index)
     assert pos.size == n_set
+
+    # Smaller tables gather faster (v5e measured: 64B rows at 16/32/64 MB =
+    # 231/197/158M rows/s, bench/hash_gather_bench.py), so prefer the
+    # smallest bucket count whose overflow still fits a TINY stash — the
+    # stash is a broadcast VPU compare against every probe, so it must not
+    # grow with the table shrink.
+    lgB = None
+    lo = max(6, lgB_def - 3) if prefer_small else lgB_def
+    for cand in range(lo, lgB_def + 1):
+        if index.size_bits > (1 << cand) << 30:
+            continue  # rest would not fit w0's 30 bits
+        counts = np.bincount(
+            (pos & np.uint64((1 << cand) - 1)).astype(np.int64),
+            minlength=1 << cand,
+        )
+        spill = int((counts - BUCKET_SLOTS).clip(min=0).sum())
+        limit = SMALL_STASH if cand < lgB_def else STASH_CAP
+        if spill <= limit:
+            lgB = cand
+            break
+    if lgB is None:
+        return None
+    n_buckets = 1 << lgB
     deg = np.diff(index.offsets).astype(np.int64)
     off = index.offsets[:-1].astype(np.int64)
     gene_ids = np.asarray(index.gene_ids)
