@@ -17,17 +17,20 @@ as bucket = low bits, rest = remaining bits), so membership answers are
 identical to the bit-vector's — including reference hash-collision
 behavior, since colliding k-mers share p and therefore share the entry.
 
-  bucket b = p & (n_buckets - 1)     n_buckets = min(2^ceil(lg n_set), 2^20)
-  row      = table[b]: 8 entries x 8 bytes = one 64-byte gather, stored
-             PLANAR ([n, 2, 8]: all w0 lanes then all w1 lanes — strided
-             lane slices of an interleaved row cost a cross-lane relayout,
-             ~20 ms/batch measured; planar slicing is free)
-  entry    = (w0 = tag<<30 | p>>lgB,  w1 = payload)
-             tag 0 empty; 1 = one gene (payload low 16); 2 = TWO genes
-             (payload = g0 | g1<<16); 3 = payload = CSR rank, the gene row
-             comes from the classic gene_mat/ext_mat tables (degree >= 3,
-             rare — gathered under a batch-level cond so degree<=2 batches
-             never pay it)
+  bucket b = p & (n_buckets - 1)     (adaptive count, see build_hashed_index)
+  row      = table[b]: 8 slots, stored PLANAR ([n, 2, 8]: all meta lanes
+             then all payload lanes — strided lane slices of an interleaved
+             row cost a cross-lane relayout, ~20 ms/batch measured; planar
+             slicing is free)
+  entry    = (meta = tag<<tag_shift | p>>lgB,  payload)
+             Two slot widths: 8-byte entries (tag<<30, 32-bit payload) and,
+             when p>>lgB fits 14 bits, 4-byte entries (tag<<14, 16-bit
+             payload; degree-2/row entries span two adjacent slots) — a
+             32-byte bucket row that gathers ~1.5x faster.
+             tag 0 empty; 1 = one gene; 2 = TWO genes (payload g0|g1<<16);
+             3 = payload = CSR rank, the gene row comes from the classic
+             gene_mat/ext_mat tables (degree >= 3, rare — gathered under a
+             batch-level cond so degree<=2 batches never pay it)
 
 One entry per set position, so each probe has AT MOST ONE matching entry —
 the match reduces to one masked sum over the 8 lanes, no ranked select.
@@ -84,6 +87,7 @@ class HashedDeviceIndex(NamedTuple):
 class HashedMeta:
     lgB: int  # log2(n_buckets)
     has_rows: bool  # any degree >= 3 entry exists (enables the cond path)
+    entry16: bool = False  # 4-byte entries (32B buckets) vs 8-byte (64B)
 
 
 def _set_bit_positions(index: SharkIndex) -> np.ndarray:
@@ -104,10 +108,25 @@ def _set_bit_positions(index: SharkIndex) -> np.ndarray:
 def build_hashed_index(
     index: SharkIndex,
     prefer_small: bool = True,
+    allow16: bool = True,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, HashedMeta]]:
     """(table, stash, meta) or None if this index should use the classic
     path (stash overflow at the table-size cap, or rank capacity).
-    prefer_small=False pins the natural bucket count (A/B control)."""
+
+    Two bucket layouts, tried smallest-table-first (smaller tables gather
+    faster on v5e: 64B rows at 16/32/64 MB = 231/197/158M rows/s,
+    bench/hash_gather_bench.py, with a hard cliff past 64 MB):
+
+    - entry16 (32-byte buckets): 4-byte entries (tag<<14|rest, payload16);
+      a degree-2 or row entry takes TWO adjacent slots (payload halves).
+      Needs rest = p >> lgB to fit 14 bits.
+    - entry8 (64-byte buckets): 8-byte entries (tag<<30|rest, payload32).
+      Needs rest to fit 30 bits.
+
+    The spill stash is a broadcast VPU compare against every probe, so
+    candidates are accepted only while it stays tiny.
+    prefer_small=False pins the natural entry8 bucket count (A/B control).
+    """
     n_set = index.n_set_bits
     if n_set == 0:
         meta = HashedMeta(lgB=6, has_rows=False)
@@ -118,38 +137,9 @@ def build_hashed_index(
         )
     if n_set >= 1 << 31:
         return None  # int32 gene_mat addressing for TAG_ROW ranks
-    # lgB >= 6 keeps rest = p >> lgB within the 30-bit w0 field at the
-    # 2^36-bit MAX_SIZE_BITS ceiling
-    lgB_def = min(
-        max(6, int(np.ceil(np.log2(n_set)))),
-        int(np.log2(MAX_BUCKETS)),
-    )
 
     pos = _set_bit_positions(index)
     assert pos.size == n_set
-
-    # Smaller tables gather faster (v5e measured: 64B rows at 16/32/64 MB =
-    # 231/197/158M rows/s, bench/hash_gather_bench.py), so prefer the
-    # smallest bucket count whose overflow still fits a TINY stash — the
-    # stash is a broadcast VPU compare against every probe, so it must not
-    # grow with the table shrink.
-    lgB = None
-    lo = max(6, lgB_def - 3) if prefer_small else lgB_def
-    for cand in range(lo, lgB_def + 1):
-        if index.size_bits > (1 << cand) << 30:
-            continue  # rest would not fit w0's 30 bits
-        counts = np.bincount(
-            (pos & np.uint64((1 << cand) - 1)).astype(np.int64),
-            minlength=1 << cand,
-        )
-        spill = int((counts - BUCKET_SLOTS).clip(min=0).sum())
-        limit = SMALL_STASH if cand < lgB_def else STASH_CAP
-        if spill <= limit:
-            lgB = cand
-            break
-    if lgB is None:
-        return None
-    n_buckets = 1 << lgB
     deg = np.diff(index.offsets).astype(np.int64)
     off = index.offsets[:-1].astype(np.int64)
     gene_ids = np.asarray(index.gene_ids)
@@ -163,39 +153,114 @@ def build_hashed_index(
     d3 = deg >= 3
     if d3.any():
         payload[d3] = np.flatnonzero(d3).astype(np.uint32)  # CSR rank
+    has_rows = bool(d3.any())
 
+    need16 = np.where(deg == 1, 1, 2).astype(np.int64)
+    slots16 = int(need16.sum())
+
+    candidates = []  # (entry16, lgB, is_last_of_family)
+    if allow16 and prefer_small:
+        lg_nat = min(
+            max(6, int(np.ceil(np.log2(slots16)))),
+            int(np.log2(MAX_TABLE_BYTES // (4 * BUCKET_SLOTS))),
+        )
+        fam = [
+            c
+            for c in range(max(6, lg_nat - 3), lg_nat + 1)
+            if index.size_bits <= (1 << c) << 14
+        ]
+        candidates += [(True, c, c == fam[-1]) for c in fam]
+    lg_nat8 = min(
+        max(6, int(np.ceil(np.log2(n_set)))),
+        int(np.log2(MAX_BUCKETS)),
+    )
+    lo8 = max(6, lg_nat8 - 3) if prefer_small else lg_nat8
+    fam8 = [
+        c
+        for c in range(lo8, lg_nat8 + 1)
+        if index.size_bits <= (1 << c) << 30
+    ]
+    candidates += [(False, c, c == fam8[-1]) for c in fam8]
+
+    for entry16, lgB, last in candidates:
+        need = need16 if entry16 else None
+        limit = STASH_CAP if (last and not entry16) else SMALL_STASH
+        # cheap slot-demand bound before the exact pack
+        demand = np.bincount(
+            (pos & np.uint64((1 << lgB) - 1)).astype(np.int64),
+            weights=need.astype(np.float64) if need is not None else None,
+            minlength=1 << lgB,
+        )
+        if int((demand - BUCKET_SLOTS).clip(min=0).sum()) > 2 * limit + 2:
+            continue
+        built = _pack_table(pos, tag, payload, need, lgB, entry16)
+        if built is None:
+            continue
+        table, stash_rows = built
+        if stash_rows.shape[0] > limit:
+            continue
+        return (
+            table,
+            _pad_stash(stash_rows),
+            HashedMeta(lgB=lgB, has_rows=has_rows, entry16=entry16),
+        )
+    return None
+
+
+def _pack_table(
+    pos: np.ndarray,
+    tag: np.ndarray,
+    payload: np.ndarray,
+    need: Optional[np.ndarray],  # slots per entry (None = all 1, entry8)
+    lgB: int,
+    entry16: bool,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(table, stash_rows) for one (layout, bucket-count) candidate."""
+    n_set = pos.size
+    n_buckets = 1 << lgB
     bucket = (pos & np.uint64(n_buckets - 1)).astype(np.int64)
     order = np.argsort(bucket, kind="stable")
     bucket_s = bucket[order]
     pos_s = pos[order]
     tag_s = tag[order].astype(np.uint32)
     pay_s = payload[order]
+    need_s = (
+        need[order] if need is not None else np.ones(n_set, np.int64)
+    )
     _, starts, counts = np.unique(
         bucket_s, return_index=True, return_counts=True
     )
-    slot = np.arange(n_set, dtype=np.int64) - np.repeat(starts, counts)
-    in_table = slot < BUCKET_SLOTS
+    csum = np.cumsum(need_s)
+    base = np.repeat((csum - need_s)[starts], counts)
+    slot = (csum - need_s) - base  # first slot offset within the bucket
+    in_table = slot + need_s <= BUCKET_SLOTS
     spill = np.flatnonzero(~in_table)
-    if spill.size > STASH_CAP:
-        return None
 
-    table = np.zeros((n_buckets, 2, BUCKET_SLOTS), dtype=np.uint32)
     rest = (pos_s >> np.uint64(lgB)).astype(np.uint32)
     tb = bucket_s[in_table]
     ts = slot[in_table]
-    table[tb, 0, ts] = (tag_s[in_table] << 30) | rest[in_table]
-    table[tb, 1, ts] = pay_s[in_table]
+    if entry16:
+        assert int(rest.max(initial=0)) < (1 << 14)
+        table = np.zeros((n_buckets, 2, BUCKET_SLOTS), dtype=np.uint16)
+        meta16 = ((tag_s << 14) | rest).astype(np.uint16)
+        table[tb, 0, ts] = meta16[in_table]
+        table[tb, 1, ts] = (pay_s[in_table] & 0xFFFF).astype(np.uint16)
+        two = in_table & (need_s == 2)
+        table[bucket_s[two], 0, slot[two] + 1] = meta16[two]
+        table[bucket_s[two], 1, slot[two] + 1] = (
+            pay_s[two] >> 16
+        ).astype(np.uint16)
+    else:
+        table = np.zeros((n_buckets, 2, BUCKET_SLOTS), dtype=np.uint32)
+        table[tb, 0, ts] = (tag_s[in_table] << 30) | rest[in_table]
+        table[tb, 1, ts] = pay_s[in_table]
 
     stash = np.empty((spill.size, 4), dtype=np.uint32)
     stash[:, 0] = (pos_s[spill] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     stash[:, 1] = (pos_s[spill] >> np.uint64(32)).astype(np.uint32)
     stash[:, 2] = tag_s[spill]
     stash[:, 3] = pay_s[spill]
-    return (
-        table,
-        _pad_stash(stash),
-        HashedMeta(lgB=lgB, has_rows=bool(d3.any())),
-    )
+    return table, stash
 
 
 def _pad_stash(stash: np.ndarray) -> np.ndarray:
@@ -239,17 +304,39 @@ def classify_kernel_hashed(
     rest = (idx_lo >> lgB) | (idx_hi << (32 - lgB))
 
     row = jnp.take(dix.table, bucket, axis=0)  # [B, Ls, 2, 8]: ONE gather
-    w0 = row[..., 0, :]
-    w1 = row[..., 1, :]
-    lane_tag = w0 >> 30
-    m = (
-        ((w0 & jnp.uint32(0x3FFFFFFF)) == rest[..., None])
-        & (lane_tag != 0)
-        & win_valid[..., None]
-    )
-    # one entry per position => at most one lane matches: plain masked sums
-    tagv = jnp.sum(jnp.where(m, lane_tag, 0), axis=-1)
-    payv = jnp.sum(jnp.where(m, w1, 0), axis=-1)
+    if hmeta.entry16:
+        # 4-byte entries: meta = tag<<14|rest, payload halves; a degree-2
+        # or row entry spans TWO adjacent slots with identical meta, so up
+        # to two lanes match and their payloads reassemble into the same
+        # 32-bit payv word the entry8 path produces.
+        meta_l = row[..., 0, :].astype(jnp.uint32)
+        pay_l = row[..., 1, :].astype(jnp.uint32)
+        lane_tag = meta_l >> 14
+        m = (
+            ((meta_l & jnp.uint32(0x3FFF)) == rest[..., None])
+            & (lane_tag != 0)
+            & win_valid[..., None]
+        )
+        iota8 = jnp.arange(BUCKET_SLOTS, dtype=jnp.uint32)
+        fs = jnp.min(
+            jnp.where(m, iota8, BUCKET_SLOTS), axis=-1, keepdims=True
+        )
+        p0 = jnp.sum(jnp.where(m & (iota8 == fs), pay_l, 0), axis=-1)
+        p1 = jnp.sum(jnp.where(m & (iota8 > fs), pay_l, 0), axis=-1)
+        tagv = jnp.max(jnp.where(m, lane_tag, 0), axis=-1)
+        payv = p0 | (p1 << 16)
+    else:
+        w0 = row[..., 0, :]
+        w1 = row[..., 1, :]
+        lane_tag = w0 >> 30
+        m = (
+            ((w0 & jnp.uint32(0x3FFFFFFF)) == rest[..., None])
+            & (lane_tag != 0)
+            & win_valid[..., None]
+        )
+        # one entry per position => at most one lane matches: masked sums
+        tagv = jnp.sum(jnp.where(m, lane_tag, 0), axis=-1)
+        payv = jnp.sum(jnp.where(m, w1, 0), axis=-1)
 
     # stash lanes: full-position compare (bucket spills — no locality)
     st = dix.stash  # [S, 4]

@@ -57,13 +57,13 @@ MAX_SIZE_BITS = 1 << 36  # 8 GiB of bit-vector
 # inline and stores a 32-bit extension-row index in its last two slots.
 # Without a cap, one hot k-mer shared by dozens of genes inflates EVERY row
 # to the global max degree — 64x table blowup at n_set ~ 10^8 (tens of GB,
-# past HBM). D is chosen from the index's DEGREE HISTOGRAM: the smallest
-# power of two covering all but OVF_FRAC of set bits within the row-table
-# byte budget, so family-style panels (every read hits deg ~12 rows) get
-# wide inline rows while sparse transcriptomes stay at 18 bytes/row with a
-# small extension table for the tail.
+# past HBM). D is the smallest power of two >= max degree whose table fits
+# the byte budget; the cap + extension path engages ONLY when the budget
+# forces it. (An earlier histogram rule capped D when few SET BITS exceeded
+# it, but reads concentrate on exactly those rows — a 50k-gene family
+# workload sent ~1% of reads to the per-read host-recompute escape and ran
+# 40x slow. Rare-in-the-index is not rare-in-the-sample.)
 GENE_D_CHOICES = (8, 16, 32, 64)
-GENE_OVF_FRAC = 1e-3  # acceptable fraction of set bits past the inline cap
 GENE_MAT_BUDGET = 4 << 30  # primary row-table byte budget
 EXT_MAX_W = 64  # extension-row width cap; reads past it recompute on host
 EXT_CAP2 = 16  # max extension-escaping windows per read before host redo
@@ -118,8 +118,6 @@ def row_geometry(deg: np.ndarray) -> Tuple[int, int]:
         pick = cand
         if cand >= max_deg:
             return cand, 0
-        if int(np.count_nonzero(deg > cand)) <= GENE_OVF_FRAC * n_set:
-            break
     resid = max_deg - (pick - 2)
     ext_w = 1 << int(np.ceil(np.log2(max(1, resid))))
     return pick, min(ext_w, EXT_MAX_W)

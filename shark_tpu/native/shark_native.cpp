@@ -173,9 +173,11 @@ struct Batch {
   std::vector<uint8_t> packed;  // [batch_size, max_len/4] 2-bit codes
   std::vector<uint8_t> vmask;  // [batch_size, max_len/8] validity bits
   int n = 0;
-  // slot lifecycle: producer fills FILLED slots in order; consumer hands
-  // them to the device pipeline; shk_emit/shk_release frees them
-  enum State { FREE, FILLED } state = FREE;
+  // slot lifecycle: the parser thread takes FREE slots in order and marks
+  // them PARSED; the encoder thread encodes/masks/packs PARSED slots into
+  // FILLED; the consumer hands FILLED slots to the device pipeline;
+  // shk_emit/shk_release frees them
+  enum State { FREE, PARSED, FILLED } state = FREE;
 };
 
 // Must cover: the pipeline's current fetch group (<=4) + queued groups
@@ -228,13 +230,14 @@ struct Stream {
   bool paired = false;
   bool pack_mode = false;
   Batch ring[kRing];
-  long produce_id = 0;  // next slot the producer fills
+  long produce_id = 0;  // next slot the parser fills
+  long encode_id = 0;  // next slot the encoder processes
   long consume_id = 0;  // next slot the consumer takes
   bool eof = false;
   bool stop = false;
   std::mutex mu;
-  std::condition_variable cv_free, cv_filled;
-  std::thread producer;
+  std::condition_variable cv_free, cv_parsed, cv_filled;
+  std::thread producer, encoder;
 
   FILE* ssv = nullptr;
   OutFile out1, out2;
@@ -287,38 +290,36 @@ void pack_row(const uint8_t* codes, int L, uint8_t* packed, uint8_t* vmask) {
   int L4 = L / 4, L8 = L / 8;
   memset(packed, 0, L4);
   memset(vmask, 0, L8);
-  for (int i = 0; i < L; i++) {
-    uint8_t c = codes[i];
-    if (c < 4) {
-      packed[i % L4] |= c << (2 * (i / L4));
-      vmask[i % L8] |= 1 << (i / L8);
+  // Plane-major loops: no per-byte div/mod, and each inner loop is a
+  // branch-free masked shift-or that the compiler autovectorizes (the
+  // byte-major form cost ~45 ms per 64k batch — the single hottest host
+  // loop in the pipeline).
+  for (int r = 0; r < 4; r++) {
+    const uint8_t* src = codes + r * L4;
+    int shift = 2 * r;
+    for (int j = 0; j < L4; j++) {
+      uint8_t c = src[j];
+      packed[j] |= (uint8_t)((c < 4 ? c : 0) << shift);
     }
+  }
+  for (int r = 0; r < 8; r++) {
+    const uint8_t* src = codes + r * L8;
+    for (int j = 0; j < L8; j++)
+      vmask[j] |= (uint8_t)((src[j] < 4 ? 1 : 0) << r);
   }
 }
 
-// Parse + encode one batch into `b`. Returns reads parsed; sets err on
-// overflow.
-int fill_batch(Stream* s, Batch& b) {
+// Parse one batch of records into `b` (no encoding — that runs on the
+// encoder thread so parse and encode/pack pipeline against each other).
+int parse_batch(Stream* s, Batch& b) {
   b.r1.resize(s->batch_size);
   if (s->paired) b.r2.resize(s->batch_size);
-  size_t row_bytes = (size_t)s->max_len;
-  b.codes.assign((size_t)s->batch_size * row_bytes, 4);
-  bool overflow = false;
   int n = 0;
   int rc1 = 0, rc2 = 0;
   while (n < s->batch_size) {
     if ((rc1 = s->f1->next(b.r1[n])) <= 0) break;
     if (s->paired && (rc2 = s->f2->next(b.r2[n])) <= 0)
       break;  // reference stops when either file ends
-    uint8_t* row = b.codes.data() + (size_t)n * row_bytes;
-    encode_into(b.r1[n], row, s->max_len, 0, &overflow);
-    if (s->paired) {
-      int off = (int)b.r1[n].seq.size() + 1;  // invalid separator column
-      encode_into(b.r2[n], row, s->max_len, off, &overflow);
-    }
-    if (s->min_quality > 0)
-      mask_row(b.r1[n], s->paired ? &b.r2[n] : nullptr, s->min_quality, row,
-               s->max_len);
     n++;
   }
   if (rc1 < 0 || rc2 < 0) {
@@ -326,23 +327,44 @@ int fill_batch(Stream* s, Batch& b) {
     b.n = -1;
     return -1;
   }
+  b.n = n;
+  return n;
+}
+
+// Encode + quality-mask + 2-bit-pack one parsed batch. Returns b.n; sets
+// err (and b.n = -1) on overflow.
+int encode_batch_rows(Stream* s, Batch& b) {
+  if (b.n <= 0) return b.n;
+  size_t row_bytes = (size_t)s->max_len;
+  b.codes.assign((size_t)s->batch_size * row_bytes, 4);
+  bool overflow = false;
+  for (int i = 0; i < b.n; i++) {
+    uint8_t* row = b.codes.data() + (size_t)i * row_bytes;
+    encode_into(b.r1[i], row, s->max_len, 0, &overflow);
+    if (s->paired) {
+      int off = (int)b.r1[i].seq.size() + 1;  // invalid separator column
+      encode_into(b.r2[i], row, s->max_len, off, &overflow);
+    }
+    if (s->min_quality > 0)
+      mask_row(b.r1[i], s->paired ? &b.r2[i] : nullptr, s->min_quality, row,
+               s->max_len);
+  }
   if (overflow) {
     s->err = "read longer than max_len";
     b.n = -1;
     return -1;
   }
-  if (s->pack_mode && n > 0) {
+  if (s->pack_mode) {
     b.packed.resize((size_t)s->batch_size * (s->max_len / 4));
     b.vmask.resize((size_t)s->batch_size * (s->max_len / 8));
     memset(b.packed.data(), 0, b.packed.size());
     memset(b.vmask.data(), 0, b.vmask.size());
-    for (int i = 0; i < n; i++)
+    for (int i = 0; i < b.n; i++)
       pack_row(b.codes.data() + (size_t)i * row_bytes, s->max_len,
                b.packed.data() + (size_t)i * (s->max_len / 4),
                b.vmask.data() + (size_t)i * (s->max_len / 8));
   }
-  b.n = n;
-  return n;
+  return b.n;
 }
 
 void producer_loop(Stream* s) {
@@ -357,12 +379,35 @@ void producer_loop(Stream* s) {
       id = s->produce_id;
     }
     Batch& b = s->ring[id % kRing];
-    int n = fill_batch(s, b);
+    int n = parse_batch(s, b);
+    {
+      std::unique_lock<std::mutex> lk(s->mu);
+      b.state = Batch::PARSED;
+      s->produce_id++;
+      if (n <= 0) s->eof = true;
+      s->cv_parsed.notify_all();
+      if (n <= 0) return;
+    }
+  }
+}
+
+void encoder_loop(Stream* s) {
+  while (true) {
+    long id;
+    {
+      std::unique_lock<std::mutex> lk(s->mu);
+      s->cv_parsed.wait(lk, [&] {
+        return s->stop || s->ring[s->encode_id % kRing].state == Batch::PARSED;
+      });
+      if (s->stop) return;
+      id = s->encode_id;
+    }
+    Batch& b = s->ring[id % kRing];
+    int n = encode_batch_rows(s, b);
     {
       std::unique_lock<std::mutex> lk(s->mu);
       b.state = Batch::FILLED;
-      s->produce_id++;
-      if (n <= 0) s->eof = true;
+      s->encode_id++;
       s->cv_filled.notify_all();
       if (n <= 0) return;
     }
@@ -398,6 +443,7 @@ void* shk_open(const char* fq1, const char* fq2, int batch_size, int max_len,
     s->paired = true;
   }
   s->producer = std::thread(producer_loop, s);
+  s->encoder = std::thread(encoder_loop, s);
   return s;
 }
 
@@ -531,8 +577,10 @@ int shk_close(void* h) {
     std::unique_lock<std::mutex> lk(s->mu);
     s->stop = true;
     s->cv_free.notify_all();
+    s->cv_parsed.notify_all();
   }
   if (s->producer.joinable()) s->producer.join();
+  if (s->encoder.joinable()) s->encoder.join();
   int rc = 0;
   if (s->ssv) {
     if (ferror(s->ssv)) rc = -1;

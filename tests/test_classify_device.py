@@ -174,17 +174,33 @@ def test_hashed_build_covers_all_positions(workload):
         lo, hi = index.offsets[payload], index.offsets[payload + 1]
         return index.gene_ids[lo:hi].tolist()
 
+    tag_shift, rest_mask = (14, 0x3FFF) if hmeta.entry16 else (30, 0x3FFFFFFF)
     n_stash_hits = 0
     for p in positions[:: max(1, positions.size // 500)]:
         want = index.membership(int(p)).tolist()
         got = None
         row = table[int(p) & mask]
         rest = int(p) >> hmeta.lgB
-        for s in range(BUCKET_SLOTS):
-            w0, w1 = int(row[0, s]), int(row[1, s])
-            if (w0 & 0x3FFFFFFF) == rest and (w0 >> 30) != 0:
-                assert got is None  # at most one entry per position
-                got = decode(w0 >> 30, w1, p)
+        matched = [
+            (int(row[0, s]) >> tag_shift, int(row[1, s]))
+            for s in range(BUCKET_SLOTS)
+            if (int(row[0, s]) & rest_mask) == rest
+            and (int(row[0, s]) >> tag_shift) != 0
+        ]
+        if matched:
+            tags = {t for t, _ in matched}
+            assert len(tags) == 1  # all matched slots belong to this entry
+            t = tags.pop()
+            if hmeta.entry16:
+                # degree-2/row entries span two slots (payload halves)
+                assert len(matched) == (1 if t == TAG_D1 else 2)
+                pay = matched[0][1]
+                if len(matched) == 2:
+                    pay |= matched[1][1] << 16
+            else:
+                assert len(matched) == 1
+                pay = matched[0][1]
+            got = decode(t, pay, p)
         for srow in np.asarray(stash):
             if int(srow[0]) == (int(p) & 0xFFFFFFFF) and int(srow[1]) == (
                 int(p) >> 32

@@ -99,9 +99,10 @@ def _high_degree_workload(n_members, rng_seed=7):
 @pytest.mark.parametrize("members", [12, 40])
 def test_high_degree_rows_match_oracle(members):
     """Degree > 8 rows: wide-inline geometry (12-member family fits D=16)
-    and the extension-table escape (40 members with GENE_OVF_FRAC forcing
-    a capped D on this histogram) must both match the oracle exactly —
-    including the PACK_OVF host-recompute path."""
+    and the extension-table escape (40 members with the capped D=8 + ext
+    geometry forced, as a budget-constrained index would get) must both
+    match the oracle exactly — including the PACK_OVF host-recompute
+    path."""
     import shark_tpu.classify.step as step
     from shark_tpu.config import SharkConfig
     from shark_tpu.pipeline import _winner_pairs
