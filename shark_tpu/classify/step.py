@@ -206,6 +206,35 @@ def extract_extra_pairs(packed: jnp.ndarray, winners: jnp.ndarray):
     return out[: min(B + 1, out.shape[0])]
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def extract_pairs(packed: jnp.ndarray, winners: jnp.ndarray, cap: int):
+    """ALL winners (slots 0..nw-1) of emitted rows as one device-sorted
+    (row << 16 | gene) uint32 stream, truncated to `cap` entries.
+
+    For tie-heavy batches (homolog panels: half the reads can tie across
+    a whole gene family) this replaces {extra-pair fetch + host concat +
+    host lexsort} with one fetch whose order IS the reference emission
+    order (read-ascending, genes ascending within a read). The caller
+    computes the exact pair count from the already-fetched packed verdicts
+    and passes cap = next power of two above it, so the stream never
+    truncates (the final sentinel-slot check still guards the invariant).
+    Rows with overflow/saturated winner counts are excluded — the caller
+    recomputes those on the host."""
+    B, W = winners.shape
+    nw = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
+    emit = ((packed >> PACK_EMIT_SHIFT) & 1) == 1
+    ovf = ((packed >> PACK_OVF_SHIFT) & 1) == 1
+    sat = (1 << PACK_NW_BITS) - 1
+    need = emit & (nw >= 1) & (nw <= W) & (nw < sat) & ~ovf
+    slot = jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid = need[:, None] & (slot < nw[:, None])
+    row = jnp.arange(B, dtype=jnp.uint32)[:, None]
+    key = (row << 16) | winners.astype(jnp.uint32)
+    keys = jnp.where(valid, key, jnp.uint32(PAIR_SENTINEL)).reshape(-1)
+    out = jnp.sort(keys)
+    return out[: min(cap, out.shape[0])]
+
+
 class DeviceIndex(NamedTuple):
     """Gather-optimized device layout of a SharkIndex.
 

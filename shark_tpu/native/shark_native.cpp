@@ -190,6 +190,8 @@ struct OutFile {
   FILE* f = nullptr;
   gzFile gz = nullptr;
   bool werr = false;  // latched write failure (disk full, I/O error)
+  std::string buf;  // batch small writes into ~1MB flushes (tie-heavy
+                    // panels emit hundreds of thousands of records/batch)
   bool open_path(const char* path) {
     size_t n = strlen(path);
     if (n > 3 && strcmp(path + n - 3, ".gz") == 0) {
@@ -201,15 +203,26 @@ struct OutFile {
   }
   bool is_open() const { return f || gz; }
   void write(const char* d, size_t n) {
-    if (gz) {
-      if (gzwrite(gz, d, (unsigned)n) != (int)n) werr = true;
-    } else {
-      if (fwrite(d, 1, n, f) != n) werr = true;
-    }
+    buf.append(d, n);
+    if (buf.size() >= (1u << 20)) flush();
   }
-  void put(char c) { write(&c, 1); }
+  void put(char c) {
+    buf.push_back(c);
+    if (buf.size() >= (1u << 20)) flush();
+  }
+  void flush() {
+    if (buf.empty()) return;
+    if (gz) {
+      if (gzwrite(gz, buf.data(), (unsigned)buf.size()) != (int)buf.size())
+        werr = true;
+    } else if (f) {
+      if (fwrite(buf.data(), 1, buf.size(), f) != buf.size()) werr = true;
+    }
+    buf.clear();
+  }
   // Returns false if any write (or the close itself) failed.
   bool close() {
+    flush();
     bool ok = !werr;
     if (gz && gzclose(gz) != Z_OK) ok = false;
     if (f) {
@@ -240,6 +253,7 @@ struct Stream {
   std::thread producer, encoder;
 
   FILE* ssv = nullptr;
+  std::string ssv_buf;
   OutFile out1, out2;
   bool own_ssv = false;
   std::vector<std::string> gene_names;
@@ -535,17 +549,18 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
   Stream* s = (Stream*)h;
   Batch& b = s->ring[slot];
   int prev = -1;
+  std::string& line = s->ssv_buf;  // one big fwrite per batch
+  line.clear();
   for (int i = 0; i < n_assoc; i++) {
     int r = read_idx[i];
     int g = gene_idx[i];
     if (r < 0 || r >= b.n || g < 0 || g >= (int)s->gene_names.size())
       return -1;
     const Record& rec = b.r1[r];
-    fwrite(rec.name.data(), 1, rec.name.size(), s->ssv);
-    fputc(' ', s->ssv);
-    const std::string& gn = s->gene_names[g];
-    fwrite(gn.data(), 1, gn.size(), s->ssv);
-    fputc('\n', s->ssv);
+    line.append(rec.name);
+    line.push_back(' ');
+    line.append(s->gene_names[g]);
+    line.push_back('\n');
     s->n_associations++;
     if (r != prev) {
       s->n_reads_out++;
@@ -554,6 +569,9 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
       prev = r;
     }
   }
+  if (!line.empty() &&
+      fwrite(line.data(), 1, line.size(), s->ssv) != line.size())
+    s->err = "output write error";
   shk_release(h, slot);
   // Surface write failures (disk full, I/O error) instead of reporting a
   // truncated run as success: -2 distinguishes them from bad indices (-1).

@@ -170,29 +170,29 @@ def _winner_pairs(
     if not np.any(overflow):
         B = int(packed_dev.shape[0])
         if not cfg.single and B <= 65536:
-            # fetch only the compacted extra-winner pairs (4 bytes per
-            # extra association) instead of the whole [B, W] matrix
-            from shark_tpu.classify.step import (
-                PAIR_SENTINEL,
-                extract_extra_pairs,
-            )
+            # fetch one device-sorted (row<<16|gene) stream of ALL winner
+            # pairs (4 bytes/association, already in reference emission
+            # order) instead of the whole [B, W] matrix; its capacity is
+            # computed exactly from the packed verdicts, so it never
+            # truncates
+            from shark_tpu.classify.step import PAIR_SENTINEL, extract_pairs
 
-            pairs = np.asarray(extract_extra_pairs(packed_dev, winners_dev))
-            if pairs.size == 0 or pairs[-1] == PAIR_SENTINEL:
-                pairs = pairs[pairs != PAIR_SENTINEL]
-                prow = (pairs >> 16).astype(np.int64)
-                keep = prow < n  # drop padding-row artifacts (none expected)
-                prow = prow[keep]
-                pgene = (pairs[keep] & 0xFFFF).astype(np.int32)
-                r_idx = np.concatenate([rows, prow])
-                g_idx = np.concatenate([winner0[rows], pgene])
-                order = np.lexsort((g_idx, r_idx))
-                return (
-                    r_idx[order].astype(np.int32),
-                    g_idx[order].astype(np.int32),
+            total = int(np.minimum(nw, max_winners).sum())
+            cap = 1 << int(np.ceil(np.log2(total + 2)))
+            if cap <= B * max_winners:
+                pairs = np.asarray(
+                    extract_pairs(packed_dev, winners_dev, cap)
                 )
-            # truncated pair stream (extraordinarily tie-heavy batch):
-            # fall through to the full winner fetch
+                if pairs[-1] == PAIR_SENTINEL:
+                    pairs = pairs[pairs != PAIR_SENTINEL]
+                    prow = (pairs >> 16).astype(np.int64)
+                    keep = prow < n  # drop padding rows (none expected)
+                    return (
+                        prow[keep].astype(np.int32),
+                        (pairs[keep] & 0xFFFF).astype(np.int32),
+                    )
+                # capacity math disagreed with the device (should not
+                # happen): fall through to the full winner fetch
         winners = np.asarray(winners_dev)
         W = winners.shape[1]
         counts = np.minimum(nw, W)
@@ -283,16 +283,37 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     timer.mark("Device warmup")
     warm_s = timer.elapsed()
 
+    # The drain is itself a 2-stage pipeline: a FETCH thread pulls the
+    # packed verdicts off the device and hands them to an EMIT thread that
+    # resolves winner pairs (possibly one more pair-stream fetch) and
+    # writes output. Tie-heavy panels emit several associations per read,
+    # where a single drain thread (fetch + pair fetch + write serialized)
+    # became the pipeline bottleneck.
+    q2: "queue_mod.Queue" = queue_mod.Queue(maxsize=DEPTH)
+
     def drainer():
         while True:
             item = q.get()
             if item is None:
+                q2.put(None)
                 return
             if drain_err:
                 continue  # keep the queue moving so q.put never deadlocks
             entries, cat = item
             try:
-                packed_all = np.asarray(cat)
+                q2.put((entries, np.asarray(cat)))
+            except BaseException as e:  # noqa: BLE001 - reraised on main
+                drain_err.append(e)
+
+    def emitter():
+        while True:
+            item = q2.get()
+            if item is None:
+                return
+            if drain_err:
+                continue
+            entries, packed_all = item
+            try:
                 off = 0
                 for c_, s_, n_, r_ in entries:
                     ri, gi = _winner_pairs(
@@ -326,6 +347,8 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
 
     th = threading.Thread(target=drainer, daemon=True)
     th.start()
+    th2 = threading.Thread(target=emitter, daemon=True)
+    th2.start()
     n_reads = 0
     group: List[tuple] = []
     while not drain_err:
@@ -346,6 +369,7 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     flush_group(group)
     q.put(None)
     th.join()
+    th2.join()
     if drain_err:
         raise drain_err[0]
 
