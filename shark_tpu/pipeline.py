@@ -283,37 +283,20 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     timer.mark("Device warmup")
     warm_s = timer.elapsed()
 
-    # The drain is itself a 2-stage pipeline: a FETCH thread pulls the
-    # packed verdicts off the device and hands them to an EMIT thread that
-    # resolves winner pairs (possibly one more pair-stream fetch) and
-    # writes output. Tie-heavy panels emit several associations per read,
-    # where a single drain thread (fetch + pair fetch + write serialized)
-    # became the pipeline bottleneck.
-    q2: "queue_mod.Queue" = queue_mod.Queue(maxsize=DEPTH)
-
+    # NOTE: a fetch-thread/emit-thread split of this drain measured 2x
+    # SLOWER on the tunneled dev TPU (69.8k vs 126.3k reads/s on the
+    # tie-heavy homolog bench) — d2h fetches there appear to hold the GIL,
+    # so extra Python threads only add contention. Single drain thread.
     def drainer():
         while True:
             item = q.get()
             if item is None:
-                q2.put(None)
                 return
             if drain_err:
                 continue  # keep the queue moving so q.put never deadlocks
             entries, cat = item
             try:
-                q2.put((entries, np.asarray(cat)))
-            except BaseException as e:  # noqa: BLE001 - reraised on main
-                drain_err.append(e)
-
-    def emitter():
-        while True:
-            item = q2.get()
-            if item is None:
-                return
-            if drain_err:
-                continue
-            entries, packed_all = item
-            try:
+                packed_all = np.asarray(cat)
                 off = 0
                 for c_, s_, n_, r_ in entries:
                     ri, gi = _winner_pairs(
@@ -347,8 +330,6 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
 
     th = threading.Thread(target=drainer, daemon=True)
     th.start()
-    th2 = threading.Thread(target=emitter, daemon=True)
-    th2.start()
     n_reads = 0
     group: List[tuple] = []
     while not drain_err:
@@ -369,7 +350,6 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     flush_group(group)
     q.put(None)
     th.join()
-    th2.join()
     if drain_err:
         raise drain_err[0]
 
