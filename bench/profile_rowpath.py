@@ -26,12 +26,14 @@ def log(m):
     print(f"[row] {m}", file=sys.stderr, flush=True)
 
 
+K, C = 17, 0.6
+CACHE = os.path.join(ROOT, "bench", ".cache", "homolog")
+
+
 def main():
     sys.path.insert(0, ROOT)
-    import bench.homolog_bench as hb
-
-    fasta = os.path.join(hb.CACHE, "genes.fa")
-    fastq = os.path.join(hb.CACHE, "reads500000.fq")
+    fasta = os.path.join(CACHE, "genes.fa")
+    fastq = os.path.join(CACHE, "reads500000.fq")
     if not os.path.exists(fastq):
         log("run bench/homolog_bench.py once to generate the workload")
         return
@@ -55,7 +57,7 @@ def main():
     from shark_tpu.utils.timers import PhaseTimer
 
     cfg = SharkConfig(
-        fasta_path=fasta, sample1_path=fastq, k=hb.K, c=hb.C, bf_gb=1
+        fasta_path=fasta, sample1_path=fastq, k=K, c=C, bf_gb=1
     )
     index = load_or_build_index(cfg, PhaseTimer())
     meta = StaticMeta.for_index(index, L)
@@ -77,7 +79,7 @@ def main():
     tp = jax.device_put(table, dev)
     stash_d = jax.device_put(stash, dev)
     gm_d = jax.device_put(gene_mat, dev)
-    thresh = jax.device_put(emit_threshold_table(hb.C, L), dev)
+    thresh = jax.device_put(emit_threshold_table(C, L), dev)
     pk = jax.device_put(packed, dev)
     vm = jax.device_put(vmask, dev)
     D = meta.degree
@@ -202,7 +204,7 @@ def main():
     # the production kernel + extract_pairs stream, for reference
     from shark_tpu.classify.step import Classifier
 
-    clf = Classifier(index, max_winners=16, c=hb.C, probe="hashed")
+    clf = Classifier(index, max_winners=16, c=C, probe="hashed")
     r = clf.call_packed(packed, vmask)
     np.asarray(r[0])
     best = 1e9
