@@ -18,15 +18,19 @@ identical to the bit-vector's — including reference hash-collision
 behavior, since colliding k-mers share p and therefore share the entry.
 
   bucket b = p & (n_buckets - 1)     (adaptive count, see build_hashed_index)
-  row      = table[b]: 8 slots, stored PLANAR ([n, 2, 8]: all meta lanes
-             then all payload lanes — strided lane slices of an interleaved
-             row cost a cross-lane relayout, ~20 ms/batch measured; planar
-             slicing is free)
+  row      = table[b]
   entry    = (meta = tag<<tag_shift | p>>lgB,  payload)
-             Two slot widths: 8-byte entries (tag<<30, 32-bit payload) and,
-             when p>>lgB fits 14 bits, 4-byte entries (tag<<14, 16-bit
-             payload; degree-2/row entries span two adjacent slots) — a
-             32-byte bucket row that gathers ~1.5x faster.
+             Two slot widths. When p>>lgB fits 14 bits: 4-byte entries
+             packed ONE PER u32 WORD (meta16 << 16 | payload16; degree-2
+             and row entries span two adjacent words), giving a
+             [n_buckets, slots] u32 table with slots = 4 or 8. The TPU
+             gather cost is ~linear in ELEMENTS per row (~0.25 ns/element
+             on top of ~2.3 ns/row with flat indices, bench/gather_gap.py),
+             so 4-8 u32 words/bucket gathers ~2x faster than the same
+             bytes as 16 u16 lanes. Otherwise: 8-byte entries (tag<<30,
+             32-bit payload) stored PLANAR ([n, 2, 8]: all meta lanes then
+             all payload lanes — strided lane slices of an interleaved row
+             cost a cross-lane relayout, ~20 ms/batch measured).
              tag 0 empty; 1 = one gene; 2 = TWO genes (payload g0|g1<<16);
              3 = payload = CSR rank, the gene row comes from the classic
              gene_mat/ext_mat tables (degree >= 3, rare — gathered under a
@@ -56,6 +60,7 @@ from shark_tpu.classify.step import (
     _mod_size,
     finish_from_keys,
     keys_from_gm,
+    take_rows,
     unpack_codes,
 )
 from shark_tpu.ops.kmers import INVALID
@@ -77,7 +82,9 @@ MAX_BUCKETS = MAX_TABLE_BYTES // (8 * BUCKET_SLOTS)
 
 
 class HashedDeviceIndex(NamedTuple):
-    table: jnp.ndarray  # uint32[n_buckets, 2, BUCKET_SLOTS]: w0 plane, w1 plane
+    # entry16: uint32[n_buckets, slots] (meta16<<16 | pay16 per word);
+    # entry8:  uint32[n_buckets, 2, BUCKET_SLOTS] (w0 plane, w1 plane)
+    table: jnp.ndarray
     stash: jnp.ndarray  # uint32[S, 4]: pos_lo, pos_hi, tag, payload
     gene_mat: jnp.ndarray  # uint16[n_set, D+1] (TAG_ROW targets only)
     ext_mat: Optional[jnp.ndarray] = None
@@ -87,7 +94,8 @@ class HashedDeviceIndex(NamedTuple):
 class HashedMeta:
     lgB: int  # log2(n_buckets)
     has_rows: bool  # any degree >= 3 entry exists (enables the cond path)
-    entry16: bool = False  # 4-byte entries (32B buckets) vs 8-byte (64B)
+    entry16: bool = False  # 4-byte entries (one u32 word each) vs 8-byte
+    slots: int = BUCKET_SLOTS  # entry slots per bucket (entry16: 4 or 8)
 
 
 def _set_bit_positions(index: SharkIndex) -> np.ndarray:
@@ -113,15 +121,16 @@ def build_hashed_index(
     """(table, stash, meta) or None if this index should use the classic
     path (stash overflow at the table-size cap, or rank capacity).
 
-    Two bucket layouts, tried smallest-table-first (smaller tables gather
-    faster on v5e: 64B rows at 16/32/64 MB = 231/197/158M rows/s,
-    bench/hash_gather_bench.py, with a hard cliff past 64 MB):
+    Bucket layouts, tried fewest-gathered-elements-first (v5e gather cost
+    is ~2.3 ns/row + ~0.25 ns/ELEMENT with flat indices,
+    bench/gather_gap.py, with a hard throughput cliff past 64 MB total):
 
-    - entry16 (32-byte buckets): 4-byte entries (tag<<14|rest, payload16);
-      a degree-2 or row entry takes TWO adjacent slots (payload halves).
+    - entry16 (one u32 word per entry: tag<<14|rest in the high half,
+      payload16 low): [n_buckets, slots] with slots = 4, then 8; a
+      degree-2 or row entry takes TWO adjacent words (payload halves).
       Needs rest = p >> lgB to fit 14 bits.
-    - entry8 (64-byte buckets): 8-byte entries (tag<<30|rest, payload32).
-      Needs rest to fit 30 bits.
+    - entry8 (64-byte planar buckets): 8-byte entries (tag<<30|rest,
+      payload32). Needs rest to fit 30 bits.
 
     The spill stash is a broadcast VPU compare against every probe, so
     candidates are accepted only while it stays tiny.
@@ -158,18 +167,22 @@ def build_hashed_index(
     need16 = np.where(deg == 1, 1, 2).astype(np.int64)
     slots16 = int(need16.sum())
 
-    candidates = []  # (entry16, lgB, is_last_of_family)
+    candidates = []  # (entry16, slots, lgB, is_last_of_family)
     if allow16 and prefer_small:
-        lg_nat = min(
-            max(6, int(np.ceil(np.log2(slots16)))),
-            int(np.log2(MAX_TABLE_BYTES // (4 * BUCKET_SLOTS))),
-        )
-        fam = [
-            c
-            for c in range(max(6, lg_nat - 3), lg_nat + 1)
-            if index.size_bits <= (1 << c) << 14
-        ]
-        candidates += [(True, c, c == fam[-1]) for c in fam]
+        # 8 slots/bucket only: 4-slot buckets (fewer gathered elements)
+        # measured SLOWER in-kernel despite the element model — table
+        # size/bucket count dominates inside the fused kernel
+        # (bench/ab_packed.py: s8@16MB 76.9ms, s4@32MB 95.5, s4@64MB 84.8)
+        for slots in (8,):
+            lg_cap = int(np.log2(MAX_TABLE_BYTES // (4 * slots)))
+            lg_nat = min(max(6, int(np.ceil(np.log2(slots16)))), lg_cap)
+            fam = [
+                c
+                for c in range(max(6, lg_nat - 3), lg_nat + 1)
+                if index.size_bits <= (1 << c) << 14
+            ]
+            if fam:
+                candidates += [(True, slots, c, c == fam[-1]) for c in fam]
     lg_nat8 = min(
         max(6, int(np.ceil(np.log2(n_set)))),
         int(np.log2(MAX_BUCKETS)),
@@ -180,9 +193,9 @@ def build_hashed_index(
         for c in range(lo8, lg_nat8 + 1)
         if index.size_bits <= (1 << c) << 30
     ]
-    candidates += [(False, c, c == fam8[-1]) for c in fam8]
+    candidates += [(False, BUCKET_SLOTS, c, c == fam8[-1]) for c in fam8]
 
-    for entry16, lgB, last in candidates:
+    for entry16, slots, lgB, last in candidates:
         need = need16 if entry16 else None
         limit = STASH_CAP if (last and not entry16) else SMALL_STASH
         # cheap slot-demand bound before the exact pack
@@ -191,9 +204,9 @@ def build_hashed_index(
             weights=need.astype(np.float64) if need is not None else None,
             minlength=1 << lgB,
         )
-        if int((demand - BUCKET_SLOTS).clip(min=0).sum()) > 2 * limit + 2:
+        if int((demand - slots).clip(min=0).sum()) > 2 * limit + 2:
             continue
-        built = _pack_table(pos, tag, payload, need, lgB, entry16)
+        built = _pack_table(pos, tag, payload, need, lgB, entry16, slots)
         if built is None:
             continue
         table, stash_rows = built
@@ -202,7 +215,9 @@ def build_hashed_index(
         return (
             table,
             _pad_stash(stash_rows),
-            HashedMeta(lgB=lgB, has_rows=has_rows, entry16=entry16),
+            HashedMeta(
+                lgB=lgB, has_rows=has_rows, entry16=entry16, slots=slots
+            ),
         )
     return None
 
@@ -214,6 +229,7 @@ def _pack_table(
     need: Optional[np.ndarray],  # slots per entry (None = all 1, entry8)
     lgB: int,
     entry16: bool,
+    slots: int = BUCKET_SLOTS,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """(table, stash_rows) for one (layout, bucket-count) candidate."""
     n_set = pos.size
@@ -233,7 +249,7 @@ def _pack_table(
     csum = np.cumsum(need_s)
     base = np.repeat((csum - need_s)[starts], counts)
     slot = (csum - need_s) - base  # first slot offset within the bucket
-    in_table = slot + need_s <= BUCKET_SLOTS
+    in_table = slot + need_s <= slots
     spill = np.flatnonzero(~in_table)
 
     rest = (pos_s >> np.uint64(lgB)).astype(np.uint32)
@@ -241,15 +257,14 @@ def _pack_table(
     ts = slot[in_table]
     if entry16:
         assert int(rest.max(initial=0)) < (1 << 14)
-        table = np.zeros((n_buckets, 2, BUCKET_SLOTS), dtype=np.uint16)
-        meta16 = ((tag_s << 14) | rest).astype(np.uint16)
-        table[tb, 0, ts] = meta16[in_table]
-        table[tb, 1, ts] = (pay_s[in_table] & 0xFFFF).astype(np.uint16)
+        # one u32 word per entry: meta16 (tag<<14|rest) high, payload16 low
+        table = np.zeros((n_buckets, slots), dtype=np.uint32)
+        meta16 = ((tag_s << 14) | rest).astype(np.uint32) << 16
+        table[tb, ts] = meta16[in_table] | (pay_s[in_table] & 0xFFFF)
         two = in_table & (need_s == 2)
-        table[bucket_s[two], 0, slot[two] + 1] = meta16[two]
-        table[bucket_s[two], 1, slot[two] + 1] = (
+        table[bucket_s[two], slot[two] + 1] = meta16[two] | (
             pay_s[two] >> 16
-        ).astype(np.uint16)
+        )
     else:
         table = np.zeros((n_buckets, 2, BUCKET_SLOTS), dtype=np.uint32)
         table[tb, 0, ts] = (tag_s[in_table] << 30) | rest[in_table]
@@ -303,23 +318,23 @@ def classify_kernel_hashed(
     bucket = (idx_lo & jnp.uint32((1 << lgB) - 1)).astype(jnp.int32)
     rest = (idx_lo >> lgB) | (idx_hi << (32 - lgB))
 
-    row = jnp.take(dix.table, bucket, axis=0)  # [B, Ls, 2, 8]: ONE gather
+    row = take_rows(dix.table, bucket)  # ONE flat-index gather
     if hmeta.entry16:
-        # 4-byte entries: meta = tag<<14|rest, payload halves; a degree-2
-        # or row entry spans TWO adjacent slots with identical meta, so up
+        # one u32 word per entry (meta16 high, payload16 low); a degree-2
+        # or row entry spans TWO adjacent words with identical meta, so up
         # to two lanes match and their payloads reassemble into the same
         # 32-bit payv word the entry8 path produces.
-        meta_l = row[..., 0, :].astype(jnp.uint32)
-        pay_l = row[..., 1, :].astype(jnp.uint32)
+        meta_l = row >> 16  # [B, Ls, slots]
+        pay_l = row & jnp.uint32(0xFFFF)
         lane_tag = meta_l >> 14
         m = (
             ((meta_l & jnp.uint32(0x3FFF)) == rest[..., None])
             & (lane_tag != 0)
             & win_valid[..., None]
         )
-        iota8 = jnp.arange(BUCKET_SLOTS, dtype=jnp.uint32)
+        iota8 = jnp.arange(hmeta.slots, dtype=jnp.uint32)
         fs = jnp.min(
-            jnp.where(m, iota8, BUCKET_SLOTS), axis=-1, keepdims=True
+            jnp.where(m, iota8, hmeta.slots), axis=-1, keepdims=True
         )
         p0 = jnp.sum(jnp.where(m & (iota8 == fs), pay_l, 0), axis=-1)
         p1 = jnp.sum(jnp.where(m & (iota8 > fs), pay_l, 0), axis=-1)
@@ -379,7 +394,7 @@ def classify_kernel_hashed(
         row_idx = jnp.where(is_row, payv, 0).astype(jnp.int32)
 
         def with_rows(_):
-            gm = jnp.take(dix.gene_mat, row_idx, axis=0)
+            gm = take_rows(dix.gene_mat, row_idx)
             ks, ovf = keys_from_gm(
                 gm, is_row, meta=meta, L=L, off=off, ext_mat=dix.ext_mat
             )

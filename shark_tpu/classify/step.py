@@ -353,18 +353,29 @@ def hash_positions(codes: jnp.ndarray, meta: StaticMeta):
     return word_idx, idx_lo & 31, win_valid
 
 
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather with FLATTENED indices.
+
+    XLA's TPU gather issues ~25% faster from a 1-D index vector than from
+    the same indices shaped [B, L] (bench/gather_gap.py: 155M vs 124M
+    rows/s for identical tables) — batch dims on the index add per-row
+    issue cost. All hot row gathers go through here."""
+    flat = jnp.take(table, idx.reshape(-1), axis=0)
+    return flat.reshape(idx.shape + table.shape[1:])
+
+
 def probe_local(dix: DeviceIndex, word_idx, bit_off, win_valid):
     """Two-gather probe of a device-resident index shard.
 
     Returns (gm u16[..., D+1], hit bool[...]): row 0 of gm is the degree,
     valid only where hit."""
-    wr = jnp.take(dix.bf_rank, word_idx, axis=0)
+    wr = take_rows(dix.bf_rank, word_idx)
     w = wr[..., 0]
     hit = (((w >> bit_off) & 1) == 1) & win_valid
     low_mask = (jnp.uint32(1) << bit_off) - 1
     rank = wr[..., 1] + jax.lax.population_count(w & low_mask)
     r = jnp.where(hit, rank.astype(jnp.int32), 0)
-    gm = jnp.take(dix.gene_mat, r, axis=0)
+    gm = take_rows(dix.gene_mat, r)
     return gm, hit
 
 
@@ -469,9 +480,7 @@ def keys_from_gm(
     erow = gm2[..., D - 1].astype(jnp.int32) | (
         gm2[..., D].astype(jnp.int32) << 16
     )
-    eg = jnp.take(
-        ext_mat, jnp.where(svalid, erow, 0), axis=0
-    )  # [B, cap2, ext_w]
+    eg = take_rows(ext_mat, jnp.where(svalid, erow, 0))  # [B, cap2, ext_w]
     resid = jnp.where(svalid, gm2[..., 0].astype(jnp.int32) - (D - 2), 0)
     spos = sneed_c.astype(jnp.uint32)
     for d in range(meta.ext_w):

@@ -181,11 +181,17 @@ def test_hashed_build_covers_all_positions(workload):
         got = None
         row = table[int(p) & mask]
         rest = int(p) >> hmeta.lgB
+        if hmeta.entry16:
+            # packed u32 words: meta16 high half, payload16 low half
+            lanes = [(int(w) >> 16, int(w) & 0xFFFF) for w in row]
+        else:
+            lanes = [
+                (int(row[0, s]), int(row[1, s])) for s in range(BUCKET_SLOTS)
+            ]
         matched = [
-            (int(row[0, s]) >> tag_shift, int(row[1, s]))
-            for s in range(BUCKET_SLOTS)
-            if (int(row[0, s]) & rest_mask) == rest
-            and (int(row[0, s]) >> tag_shift) != 0
+            (meta >> tag_shift, pay)
+            for meta, pay in lanes
+            if (meta & rest_mask) == rest and (meta >> tag_shift) != 0
         ]
         if matched:
             tags = {t for t, _ in matched}
