@@ -97,16 +97,18 @@ def main():
         rest = (idx_lo >> lgB) | (idx_hi << (32 - lgB))
         row = jnp.take(tp, bucket, axis=0)
         if hmeta.entry16:
-            meta_l = row[..., 0, :].astype(jnp.uint32)
-            pay_l = row[..., 1, :].astype(jnp.uint32)
+            meta_l = row >> 16
+            pay_l = row & jnp.uint32(0xFFFF)
             lane_tag = meta_l >> 14
             m = (
                 ((meta_l & jnp.uint32(0x3FFF)) == rest[..., None])
                 & (lane_tag != 0)
                 & win_valid[..., None]
             )
-            iota8 = jnp.arange(8, dtype=jnp.uint32)
-            fs = jnp.min(jnp.where(m, iota8, 8), axis=-1, keepdims=True)
+            iota8 = jnp.arange(hmeta.slots, dtype=jnp.uint32)
+            fs = jnp.min(
+                jnp.where(m, iota8, hmeta.slots), axis=-1, keepdims=True
+            )
             p0 = jnp.sum(jnp.where(m & (iota8 == fs), pay_l, 0), axis=-1)
             p1 = jnp.sum(jnp.where(m & (iota8 > fs), pay_l, 0), axis=-1)
             tagv = jnp.max(jnp.where(m, lane_tag, 0), axis=-1)
@@ -179,14 +181,16 @@ def main():
         tagv, payv, length = front(pk, vm)
         keys = direct_keys(tagv, payv)
         rk, ovf = row_keys(tagv, payv)
-        keys.extend(rk)
+        keys[0] = jnp.minimum(keys[0], rk[0])
+        keys[1] = jnp.minimum(keys[1], rk[1])
+        keys.extend(rk[2:])
         key_mat = jnp.concatenate(keys, axis=1)
         out = finish_from_keys(
             key_mat, length, thresh, ovf, meta=meta, max_winners=16, L=L
         )
         return out[0].sum()
 
-    stages["s3 full (sort width %d)" % ((2 + D) * Ls)] = jax.jit(full)
+    stages["s3 full (sort width %d)" % (max(D, 2) * Ls)] = jax.jit(full)
 
     def timeit(f, reps=4):
         np.asarray(f(pk, vm))

@@ -414,7 +414,17 @@ def classify_kernel_hashed(
         row_keys, row_ovf = jax.lax.cond(
             jnp.any(is_row), with_rows, without, None
         )
-        keys.extend(row_keys)
+        # a window is EITHER direct (<=2 keys) or a row (<=D keys), so the
+        # first two row lanes merge into the direct lanes (exactly one side
+        # is non-sentinel; sentinel is the max key) — the finish sort width
+        # drops from (D+2)*Ls to max(D,2)*Ls
+        row_keys = list(row_keys)
+        for i in range(min(2, len(row_keys))):
+            if row_keys[i].shape == keys[i].shape:
+                keys[i] = jnp.minimum(keys[i], row_keys[i])
+            else:
+                keys.append(row_keys[i])
+        keys.extend(row_keys[2:])
 
     key_mat = jnp.concatenate(keys, axis=1)
     return finish_from_keys(
