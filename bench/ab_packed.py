@@ -110,7 +110,7 @@ def main():
         dix = H.HashedDeviceIndex(
             table=jax.device_put(table, dev),
             stash=jax.device_put(stash, dev),
-            gene_mat=gm_dummy,
+            rows3=gm_dummy,
             ext_mat=None,
         )
         step_mod.take_rows = taker

@@ -207,7 +207,7 @@ def main():
     dix = HashedDeviceIndex(
         table=tp,
         stash=stash_d,
-        gene_mat=jax.device_put(np.zeros((1, 2), np.uint16), dev),
+        rows3=jax.device_put(np.zeros((1, 2), np.uint16), dev),
         ext_mat=None,
     )
     stages["s5 library kernel (gm synth)"] = jax.jit(

@@ -42,7 +42,7 @@ def main():
     from shark_tpu.classify.step import (
         StaticMeta,
         _mod_size,
-        build_gene_mat,
+        build_rows3,
         emit_threshold_table,
         extract_pairs,
         finish_from_keys,
@@ -63,7 +63,7 @@ def main():
     meta = StaticMeta.for_index(index, L)
     log(f"geometry D={meta.degree} ext_w={meta.ext_w}")
     table, stash, hmeta = build_hashed_index(index)
-    gene_mat, ext_mat = build_gene_mat(index)
+    gene_mat, ext_mat = build_rows3(index)
     k = meta.k
     lgB = hmeta.lgB
 
@@ -82,7 +82,7 @@ def main():
     thresh = jax.device_put(emit_threshold_table(C, L), dev)
     pk = jax.device_put(packed, dev)
     vm = jax.device_put(vmask, dev)
-    D = meta.degree
+    D = meta.degree3
 
     def front(pk, vm):
         codes = unpack_codes(pk, vm)
@@ -150,7 +150,13 @@ def main():
         row_idx = jnp.where(is_row, payv, 0).astype(jnp.int32)
         gm = jnp.take(gm_d, row_idx, axis=0)
         ks, ovf = keys_from_gm(
-            gm, is_row, meta=meta, L=L, off=off, ext_mat=None
+            gm,
+            is_row,
+            meta=meta,
+            L=L,
+            off=off,
+            ext_mat=None,
+            geometry=(meta.degree3, meta.ext3_w),
         )
         return list(ks), ovf
 

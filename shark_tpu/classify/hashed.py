@@ -56,10 +56,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from shark_tpu.classify.step import (
+    TAG_D1,
+    TAG_D2,
+    TAG_ROW,
     StaticMeta,
     _mod_size,
-    finish_from_keys,
-    keys_from_gm,
+    finish_from_tags,
     take_rows,
     unpack_codes,
 )
@@ -72,9 +74,6 @@ BUCKET_SLOTS = 8
 STASH_CAP = 256
 SMALL_STASH = 64  # cap when shrinking below the natural bucket count
 STASH_MIN = 32
-TAG_D1 = 1
-TAG_D2 = 2
-TAG_ROW = 3
 # Measured v5e gather cliff: tables past 64 MB drop from ~158M to ~45M
 # rows/s (bench/hash_gather_bench.py) — never build past it.
 MAX_TABLE_BYTES = 64 << 20
@@ -86,7 +85,7 @@ class HashedDeviceIndex(NamedTuple):
     # entry8:  uint32[n_buckets, 2, BUCKET_SLOTS] (w0 plane, w1 plane)
     table: jnp.ndarray
     stash: jnp.ndarray  # uint32[S, 4]: pos_lo, pos_hi, tag, payload
-    gene_mat: jnp.ndarray  # uint16[n_set, D+1] (TAG_ROW targets only)
+    rows3: jnp.ndarray  # uint16[max(n_deg3,1), D3+1] compacted deg>=3 rows
     ext_mat: Optional[jnp.ndarray] = None
 
 
@@ -161,7 +160,9 @@ def build_hashed_index(
         payload[d2] |= gene_ids[off[d2] + 1].astype(np.uint32) << 16
     d3 = deg >= 3
     if d3.any():
-        payload[d3] = np.flatnonzero(d3).astype(np.uint32)  # CSR rank
+        # index into the COMPACTED deg>=3 row table (build_rows3), not the
+        # global CSR rank — the wide rows exist only for these k-mers
+        payload[d3] = np.arange(int(d3.sum()), dtype=np.uint32)
     has_rows = bool(d3.any())
 
     need16 = np.where(deg == 1, 1, 2).astype(np.int64)
@@ -304,7 +305,6 @@ def classify_kernel_hashed(
     [B, Ls, D+1] gene-row materialization."""
     B, L = codes.shape
     k = meta.k
-    D = meta.degree
 
     canon, win_valid = canonical_kmers_jax(codes, k)
     s = min(k - 1, L - 1)
@@ -367,74 +367,19 @@ def classify_kernel_hashed(
         jnp.where(sm, st[:, 3][None, None, :], 0), axis=-1
     )
 
-    # direct sort keys for the degree<=2 fast path
-    Ls = tagv.shape[1]
-    off = L - Ls
-    pos_bits = meta.pos_bits
-    pos_u32 = jnp.broadcast_to(
-        (jnp.arange(Ls, dtype=jnp.uint32) + off)[None, :], (B, Ls)
-    )
-    sentinel = jnp.uint32(meta.n_genes << pos_bits)
-    keys = [
-        jnp.where(
-            (tagv == TAG_D1) | (tagv == TAG_D2),
-            ((payv & 0xFFFF) << pos_bits) | pos_u32,
-            sentinel,
-        ),
-        jnp.where(
-            tagv == TAG_D2, ((payv >> 16) << pos_bits) | pos_u32, sentinel
-        ),
-    ]
-    row_ovf = jnp.zeros((B,), dtype=jnp.bool_)
-
-    if hmeta.has_rows:
-        # degree >= 3: resolve through the classic gene row tables, under a
-        # batch-level cond so degree<=2 batches never pay the gather
-        is_row = tagv == TAG_ROW
-        row_idx = jnp.where(is_row, payv, 0).astype(jnp.int32)
-
-        def with_rows(_):
-            gm = take_rows(dix.gene_mat, row_idx)
-            ks, ovf = keys_from_gm(
-                gm, is_row, meta=meta, L=L, off=off, ext_mat=dix.ext_mat
-            )
-            return tuple(ks), ovf
-
-        def without(_):
-            from shark_tpu.classify.step import EXT_CAP2
-
-            ks = [jnp.full((B, Ls), sentinel) for _ in range(D)]
-            if meta.ext_w and dix.ext_mat is not None:
-                ks += [
-                    jnp.full((B, EXT_CAP2), sentinel)
-                    for _ in range(meta.ext_w)
-                ]
-            return tuple(ks), jnp.zeros((B,), dtype=jnp.bool_)
-
-        row_keys, row_ovf = jax.lax.cond(
-            jnp.any(is_row), with_rows, without, None
-        )
-        # a window is EITHER direct (<=2 keys) or a row (<=D keys), so the
-        # first two row lanes merge into the direct lanes (exactly one side
-        # is non-sentinel; sentinel is the max key) — the finish sort width
-        # drops from (D+2)*Ls to max(D,2)*Ls
-        row_keys = list(row_keys)
-        for i in range(min(2, len(row_keys))):
-            if row_keys[i].shape == keys[i].shape:
-                keys[i] = jnp.minimum(keys[i], row_keys[i])
-            else:
-                keys.append(row_keys[i])
-        keys.extend(row_keys[2:])
-
-    key_mat = jnp.concatenate(keys, axis=1)
-    return finish_from_keys(
-        key_mat,
+    # shared back-end: direct keys for degree<=2, compacted rows3 gather
+    # under a batch-level cond for degree>=3, sort-based finish
+    return finish_from_tags(
+        tagv,
+        payv,
         length,
         thresh,
-        row_ovf,
+        rows3=dix.rows3,
+        ext_mat=dix.ext_mat,
         meta=meta,
         max_winners=max_winners,
         L=L,
+        has_rows=hmeta.has_rows,
     )
 
 

@@ -68,6 +68,15 @@ GENE_MAT_BUDGET = 4 << 30  # primary row-table byte budget
 EXT_MAX_W = 64  # extension-row width cap; reads past it recompute on host
 EXT_CAP2 = 16  # max extension-escaping windows per read before host redo
 
+# Probe-result tags, shared by every probe front-end (the hashed bucket
+# table and the classic rank->payload gather produce the same
+# (tag, payload) stream; one back-end turns it into verdicts):
+#   0 = miss; 1 = one gene (payload g); 2 = two genes (payload g0|g1<<16);
+#   3 = degree>=3, payload = row index into the COMPACTED deg>=3 row table
+TAG_D1 = 1
+TAG_D2 = 2
+TAG_ROW = 3
+
 
 @dataclass(frozen=True)
 class StaticMeta:
@@ -76,9 +85,11 @@ class StaticMeta:
     k: int
     size_bits: int
     n_genes: int
-    degree: int  # gene slots per row (max genes per set bit, padded bucket)
+    degree: int  # FULL row geometry: gene slots per all-degrees row
     pos_bits: int  # bits reserved for the position in a sort key
     ext_w: int = 0  # extension-row width (0 = no rows overflow the cap)
+    degree3: int = 1  # COMPACTED deg>=3 row geometry (rows3 tables)
+    ext3_w: int = 0
 
     @classmethod
     def for_index(cls, index: SharkIndex, max_len: int) -> "StaticMeta":
@@ -91,6 +102,7 @@ class StaticMeta:
         if (index.n_genes << pos_bits) >= (1 << 31):
             raise ValueError("n_genes * max_len exceeds 31-bit sort keys")
         degree, ext_w = index_geometry(index)
+        degree3, ext3_w = index_geometry3(index)
         return cls(
             k=index.k,
             size_bits=index.size_bits,
@@ -98,6 +110,8 @@ class StaticMeta:
             degree=degree,
             pos_bits=pos_bits,
             ext_w=ext_w,
+            degree3=degree3,
+            ext3_w=ext3_w,
         )
 
 
@@ -124,13 +138,29 @@ def row_geometry(deg: np.ndarray) -> Tuple[int, int]:
 
 
 def index_geometry(index: SharkIndex) -> Tuple[int, int]:
-    """Cached row geometry of an index (the histogram scan costs a pass
-    over offsets; StaticMeta, the builders, and the shard splitter must all
-    agree on one answer)."""
+    """Cached FULL row geometry of an index (all set bits; used by the
+    sharded-BF path whose routed rows cover every degree). The histogram
+    scan costs a pass over offsets; every consumer must agree on one
+    answer."""
     geom = index.__dict__.get("_row_geometry")
     if geom is None:
         geom = row_geometry(np.diff(index.offsets))
         index.__dict__["_row_geometry"] = geom
+    return geom
+
+
+def index_geometry3(index: SharkIndex) -> Tuple[int, int]:
+    """Cached geometry of the COMPACTED deg>=3 row table (rows3). The
+    single-chip kernels resolve deg<=2 probes inline from tag/payload
+    words and gather wide rows only for deg>=3 k-mers, so the wide table
+    holds just those rows — at transcriptome scale that is ~1% of set
+    bits, which keeps the gather in the fast small-table regime
+    (bench/txome_gather.py: 98M rows/s under ~64MB vs 47M at 2.3GB)."""
+    geom = index.__dict__.get("_row_geometry3")
+    if geom is None:
+        deg = np.diff(index.offsets)
+        geom = row_geometry(deg[deg >= 3])
+        index.__dict__["_row_geometry3"] = geom
     return geom
 
 
@@ -236,22 +266,27 @@ def extract_pairs(packed: jnp.ndarray, winners: jnp.ndarray, cap: int):
 
 
 class DeviceIndex(NamedTuple):
-    """Gather-optimized device layout of a SharkIndex.
+    """Gather-optimized device layout of a SharkIndex (classic probe).
 
     A probe costs at most TWO random gathers (the dominant device cost —
     the compute around them is effectively free on the VPU):
-      bf_rank[w]  : (bloom word, exclusive rank) in one 8-byte row
-      gene_mat[r] : (degree, gene_0, ..., gene_{D-1}) one 2(D+1)-byte row
+      bf_rank[w] : (bloom word, exclusive rank) in one 8-byte row
+      pay[r]     : (tag<<30 | g0, g1-or-rows3-index) in one 8-byte row
     versus the reference's bit-vector + rank + select + flattened-set walk
     (bloomfilter.h:78-102), which costs 6+ dependent memory touches.
+    8-byte rows are the fastest gather shape at ANY table size on v5e
+    (~100M rows/s even at 2+GB, bench/txome_gather.py), so both hot
+    gathers stay in that shape; the wide (deg, gene...) rows exist only
+    for deg>=3 k-mers in the small compacted rows3 table.
 
     (A single-gather layout was measured ~30% SLOWER on v5e — the negative
     result and its runnable kernel live in bench/fast_kernel.py.)
     """
 
     bf_rank: jnp.ndarray  # uint32[n_words, 2]: word, rank
-    gene_mat: jnp.ndarray  # uint16[max(n_set,1), D+1]
-    ext_mat: Optional[jnp.ndarray] = None  # uint16[n_ovf, ext_w], deg>D tail
+    pay: jnp.ndarray  # uint32[max(n_set,1), 2]: tag/payload per set bit
+    rows3: jnp.ndarray  # uint16[max(n_deg3,1), D3+1] compacted deg>=3 rows
+    ext_mat: Optional[jnp.ndarray] = None  # uint16[n_ovf, ext3_w] tails
 
 
 def build_gene_rows(
@@ -311,10 +346,56 @@ def _ragged_cols(counts: np.ndarray) -> np.ndarray:
     )
 
 
+def build_pay(index: SharkIndex) -> np.ndarray:
+    """uint32[max(n_set,1), 2] tag/payload rows, one per set bit in CSR
+    rank order: word0 = tag<<30 | first_gene (tags 1/2), word1 = second
+    gene (tag 2) or the row's index into the compacted rows3 table
+    (tag 3)."""
+    deg = np.diff(index.offsets).astype(np.int64)
+    n_set = deg.size
+    pay = np.zeros((max(n_set, 1), 2), dtype=np.uint32)
+    if not n_set:
+        return pay
+    off = index.offsets[:-1].astype(np.int64)
+    gene_ids = np.asarray(index.gene_ids)
+    first_gene = gene_ids[np.minimum(off, max(gene_ids.size - 1, 0))].astype(
+        np.uint32
+    )
+    tag = np.where(
+        deg == 1, TAG_D1, np.where(deg == 2, TAG_D2, TAG_ROW)
+    ).astype(np.uint32)
+    d2 = deg == 2
+    d3 = deg >= 3
+    pay[:, 0] = (tag << 30) | np.where(d3, 0, first_gene)
+    w1 = np.zeros(n_set, np.uint32)
+    if d2.any():
+        w1[d2] = gene_ids[off[d2] + 1].astype(np.uint32)
+    if d3.any():
+        w1[d3] = np.arange(int(d3.sum()), dtype=np.uint32)  # rows3 index
+    pay[:, 1] = w1
+    return pay
+
+
+def build_rows3(
+    index: SharkIndex, ext: bool = True
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Compacted (degree, slots) rows for deg>=3 set bits only (+ extension
+    matrix), addressed by the tag-3 payload of build_pay /
+    build_hashed_index."""
+    deg = np.diff(index.offsets).astype(np.int64)
+    d3 = deg >= 3
+    geometry = index_geometry3(index)
+    if not d3.any():
+        return np.zeros((1, geometry[0] + 1), dtype=np.uint16), None
+    gene_flat = np.asarray(index.gene_ids)[np.repeat(d3, deg)]
+    return build_gene_rows(deg[d3], gene_flat, ext, geometry=geometry)
+
+
 def build_gene_mat(
     index: SharkIndex, ext: bool = True
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """(degree, slots) row per set bit (+ extension matrix), numpy."""
+    """(degree, slots) row per set bit (+ extension matrix), numpy — the
+    FULL-width layout (all degrees); used by the sharded-BF path."""
     deg = np.diff(index.offsets).astype(np.int64)
     return build_gene_rows(
         deg, np.asarray(index.gene_ids), ext, geometry=index_geometry(index)
@@ -323,14 +404,16 @@ def build_gene_mat(
 
 def build_device_index(
     index: SharkIndex,
-) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
-    """Host-side construction of the classic DeviceIndex arrays (numpy)."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Host-side construction of the classic DeviceIndex arrays (numpy):
+    (bf_rank, pay, rows3, ext_mat)."""
     n_words = index.bf_words.size
     bf_rank = np.empty((n_words, 2), dtype=np.uint32)
     bf_rank[:, 0] = index.bf_words
     bf_rank[:, 1] = index.word_rank
-    gene_mat, ext_mat = build_gene_mat(index)
-    return bf_rank, gene_mat, ext_mat
+    pay = build_pay(index)
+    rows3, ext_mat = build_rows3(index)
+    return bf_rank, pay, rows3, ext_mat
 
 
 def hash_positions(codes: jnp.ndarray, meta: StaticMeta):
@@ -364,19 +447,45 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return flat.reshape(idx.shape + table.shape[1:])
 
 
-def probe_local(dix: DeviceIndex, word_idx, bit_off, win_valid):
-    """Two-gather probe of a device-resident index shard.
+def probe_rank(bf_rank: jnp.ndarray, word_idx, bit_off, win_valid):
+    """Bloom membership + exact CSR rank from one 8-byte-row gather.
 
-    Returns (gm u16[..., D+1], hit bool[...]): row 0 of gm is the degree,
-    valid only where hit."""
-    wr = take_rows(dix.bf_rank, word_idx)
+    Returns (rank i32[...], hit bool[...]); rank is 0 where !hit."""
+    wr = take_rows(bf_rank, word_idx)
     w = wr[..., 0]
     hit = (((w >> bit_off) & 1) == 1) & win_valid
     low_mask = (jnp.uint32(1) << bit_off) - 1
     rank = wr[..., 1] + jax.lax.population_count(w & low_mask)
-    r = jnp.where(hit, rank.astype(jnp.int32), 0)
-    gm = take_rows(dix.gene_mat, r)
+    return jnp.where(hit, rank.astype(jnp.int32), 0), hit
+
+
+def probe_local(bf_rank, gene_mat, word_idx, bit_off, win_valid):
+    """Two-gather probe against FULL-width gene rows (sharded-BF path).
+
+    Returns (gm u16[..., D+1], hit bool[...]): row 0 of gm is the degree,
+    valid only where hit."""
+    r, hit = probe_rank(bf_rank, word_idx, bit_off, win_valid)
+    gm = take_rows(gene_mat, r)
     return gm, hit
+
+
+def probe_tags(dix: DeviceIndex, word_idx, bit_off, win_valid):
+    """Classic two-gather probe to (tag, payload) per window.
+
+    Both gathers are 8-byte rows — the fastest gather shape at any table
+    size on v5e (bench/txome_gather.py). tag/payload semantics match the
+    hashed front-end (TAG_* constants)."""
+    r, hit = probe_rank(dix.bf_rank, word_idx, bit_off, win_valid)
+    pw = take_rows(dix.pay, r)
+    w0 = pw[..., 0]
+    w1 = pw[..., 1]
+    tagv = jnp.where(hit, w0 >> 30, 0)
+    payv = jnp.where(
+        tagv == TAG_ROW,
+        w1,
+        (w0 & jnp.uint32(0xFFFF)) | ((w1 & jnp.uint32(0xFFFF)) << 16),
+    )
+    return tagv, payv
 
 
 def finish_kernel(
@@ -432,14 +541,15 @@ def keys_from_gm(
     L: int,
     off: int,
     ext_mat: Optional[jnp.ndarray],
+    geometry: Optional[Tuple[int, int]] = None,  # (D, ext_w) of gm's rows
 ):
     """(gene << pos_bits | pos) sort-key blocks from per-window gene rows,
     handling the capped-degree inline/extension layout. Returns
-    (list of uint32[B, *] blocks, row_ovf bool[B]). Shared by the classic
-    kernel (all windows) and the hashed kernel's rare degree>=3 cond
-    branch."""
+    (list of uint32[B, *] blocks, row_ovf bool[B]). Shared by the sharded
+    path (full-width rows, meta.degree) and the single-chip kernels'
+    degree>=3 cond branch (compacted rows3 geometry)."""
     B, Ls = hit.shape
-    D = meta.degree
+    D, ext_w = geometry if geometry is not None else (meta.degree, meta.ext_w)
     G = meta.n_genes
     pos_bits = meta.pos_bits
     deg = jnp.where(hit, gm[..., 0].astype(jnp.int32), 0)
@@ -451,7 +561,7 @@ def keys_from_gm(
     pos_u32 = pos_i32.astype(jnp.uint32)
     row_ovf = jnp.zeros((B,), dtype=jnp.bool_)
     keys = []
-    if meta.ext_w == 0:
+    if ext_w == 0:
         for d in range(D):
             g = gm[..., 1 + d].astype(jnp.uint32)
             key = (g << pos_bits) | pos_u32
@@ -483,12 +593,12 @@ def keys_from_gm(
     eg = take_rows(ext_mat, jnp.where(svalid, erow, 0))  # [B, cap2, ext_w]
     resid = jnp.where(svalid, gm2[..., 0].astype(jnp.int32) - (D - 2), 0)
     spos = sneed_c.astype(jnp.uint32)
-    for d in range(meta.ext_w):
+    for d in range(ext_w):
         g = eg[..., d].astype(jnp.uint32)
         key = (g << pos_bits) | spos
         keys.append(jnp.where(svalid & (d < resid), key, sentinel))
     row_ovf = (jnp.sum(needy.astype(jnp.int32), axis=1) > cap2) | jnp.any(
-        needy & (deg - (D - 2) > meta.ext_w), axis=1
+        needy & (deg - (D - 2) > ext_w), axis=1
     )
     return keys, row_ovf
 
@@ -562,6 +672,99 @@ def finish_from_keys(
     return packed, winners, best_cov, length
 
 
+def finish_from_tags(
+    tagv: jnp.ndarray,  # uint32[B, Ls]: 0 miss / TAG_D1 / TAG_D2 / TAG_ROW
+    payv: jnp.ndarray,  # uint32[B, Ls]: genes or rows3 index (see TAG_*)
+    length: jnp.ndarray,  # int32[B]
+    thresh: jnp.ndarray,  # int32[L+1]
+    *,
+    rows3: jnp.ndarray,  # uint16[max(n_deg3,1), D3+1]
+    ext_mat: Optional[jnp.ndarray],
+    meta: StaticMeta,
+    max_winners: int,
+    L: int,
+    has_rows: bool,
+):
+    """Shared back-end of every probe front-end: (tag, payload) per window
+    -> sort keys -> coverage/winner reduction. Degree<=2 windows build
+    their keys directly; degree>=3 windows resolve through the compacted
+    rows3 table under a batch-level cond so row-free batches never pay the
+    gather."""
+    B, Ls = tagv.shape
+    off = L - Ls
+    pos_bits = meta.pos_bits
+    pos_u32 = jnp.broadcast_to(
+        (jnp.arange(Ls, dtype=jnp.uint32) + off)[None, :], (B, Ls)
+    )
+    sentinel = jnp.uint32(meta.n_genes << pos_bits)
+    keys = [
+        jnp.where(
+            (tagv == TAG_D1) | (tagv == TAG_D2),
+            ((payv & 0xFFFF) << pos_bits) | pos_u32,
+            sentinel,
+        ),
+        jnp.where(
+            tagv == TAG_D2, ((payv >> 16) << pos_bits) | pos_u32, sentinel
+        ),
+    ]
+    row_ovf = jnp.zeros((B,), dtype=jnp.bool_)
+
+    if has_rows:
+        geometry3 = (meta.degree3, meta.ext3_w)
+        is_row = tagv == TAG_ROW
+        row_idx = jnp.where(is_row, payv, 0).astype(jnp.int32)
+
+        def with_rows(_):
+            gm = take_rows(rows3, row_idx)
+            ks, ovf = keys_from_gm(
+                gm,
+                is_row,
+                meta=meta,
+                L=L,
+                off=off,
+                ext_mat=ext_mat,
+                geometry=geometry3,
+            )
+            return tuple(ks), ovf
+
+        def without(_):
+            ks = [
+                jnp.full((B, Ls), sentinel) for _ in range(meta.degree3)
+            ]
+            if meta.ext3_w and ext_mat is not None:
+                ks += [
+                    jnp.full((B, EXT_CAP2), sentinel)
+                    for _ in range(meta.ext3_w)
+                ]
+            return tuple(ks), jnp.zeros((B,), dtype=jnp.bool_)
+
+        row_keys, row_ovf = jax.lax.cond(
+            jnp.any(is_row), with_rows, without, None
+        )
+        # a window is EITHER direct (<=2 keys) or a row (<=D3 keys), never
+        # both, so the first two row lanes fold into the direct lanes
+        # (exactly one side is non-sentinel; sentinel is the max key) —
+        # the finish sort width drops from (D3+2)*Ls to max(D3,2)*Ls
+        row_keys = list(row_keys)
+        for i in range(min(2, len(row_keys))):
+            if row_keys[i].shape == keys[i].shape:
+                keys[i] = jnp.minimum(keys[i], row_keys[i])
+            else:
+                keys.append(row_keys[i])
+        keys.extend(row_keys[2:])
+
+    key_mat = jnp.concatenate(keys, axis=1)
+    return finish_from_keys(
+        key_mat,
+        length,
+        thresh,
+        row_ovf,
+        meta=meta,
+        max_winners=max_winners,
+        L=L,
+    )
+
+
 def classify_kernel(
     dix: DeviceIndex,
     thresh: jnp.ndarray,  # int32[L+1] emission threshold table
@@ -569,19 +772,24 @@ def classify_kernel(
     *,
     meta: StaticMeta,
     max_winners: int,
+    has_rows: bool = True,
 ):
     """Returns (packed i32[B], winners i32[B, W], best_cov i32[B],
     length i32[B])."""
     word_idx, bit_off, win_valid = hash_positions(codes, meta)
-    gm, hit = probe_local(dix, word_idx, bit_off, win_valid)
-    return finish_kernel(
-        gm,
-        hit,
-        codes,
+    tagv, payv = probe_tags(dix, word_idx, bit_off, win_valid)
+    length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
+    return finish_from_tags(
+        tagv,
+        payv,
+        length,
         thresh,
+        rows3=dix.rows3,
+        ext_mat=dix.ext_mat,
         meta=meta,
         max_winners=max_winners,
-        ext_mat=dix.ext_mat,
+        L=codes.shape[1],
+        has_rows=has_rows,
     )
 
 
@@ -613,10 +821,16 @@ def classify_kernel_packed(
     *,
     meta: StaticMeta,
     max_winners: int,
+    has_rows: bool = True,
 ):
     codes = unpack_codes(packed, vmask)
     return classify_kernel(
-        dix, thresh, codes, meta=meta, max_winners=max_winners
+        dix,
+        thresh,
+        codes,
+        meta=meta,
+        max_winners=max_winners,
+        has_rows=has_rows,
     )
 
 
@@ -662,15 +876,15 @@ class Classifier:
                 )
         if built is not None:
             table, stash, self._hmeta = built
-            gene_mat, ext_mat = (
-                build_gene_mat(index)
+            rows3, ext_mat = (
+                build_rows3(index)
                 if self._hmeta.has_rows
                 else (np.zeros((1, 2), np.uint16), None)
             )
             self.dix = HashedDeviceIndex(
                 table=jax.device_put(table, dev),
                 stash=jax.device_put(stash, dev),
-                gene_mat=jax.device_put(gene_mat, dev),
+                rows3=jax.device_put(rows3, dev),
                 ext_mat=(
                     jax.device_put(ext_mat, dev)
                     if ext_mat is not None
@@ -678,11 +892,14 @@ class Classifier:
                 ),
             )
             self.probe = "hashed"
+            self._has_rows = self._hmeta.has_rows
         else:
-            bf_rank, gene_mat, ext_mat = build_device_index(index)
+            bf_rank, pay, rows3, ext_mat = build_device_index(index)
+            self._has_rows = bool((np.diff(index.offsets) >= 3).any())
             self.dix = DeviceIndex(
                 bf_rank=jax.device_put(bf_rank, dev),
-                gene_mat=jax.device_put(gene_mat, dev),
+                pay=jax.device_put(pay, dev),
+                rows3=jax.device_put(rows3, dev),
                 ext_mat=(
                     jax.device_put(ext_mat, dev)
                     if ext_mat is not None
@@ -717,6 +934,7 @@ class Classifier:
                     classify_kernel_packed if packed else classify_kernel,
                     meta=meta,
                     max_winners=self.max_winners,
+                    has_rows=self._has_rows,
                 )
             fn = jax.jit(kern)
             self._fns[key] = fn

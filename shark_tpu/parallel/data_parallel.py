@@ -56,18 +56,18 @@ class DataParallelClassifier:
             if built is None and probe == "hashed":
                 raise ValueError("hashed probe table not buildable")
         if built is not None:
-            from shark_tpu.classify.step import build_gene_mat
+            from shark_tpu.classify.step import build_rows3
 
             table, stash, self._hmeta = built
-            gene_mat, ext_mat = (
-                build_gene_mat(index)
+            rows3, ext_mat = (
+                build_rows3(index)
                 if self._hmeta.has_rows
                 else (np.zeros((1, 2), np.uint16), None)
             )
             self.dix = HashedDeviceIndex(
                 table=jax.device_put(table, repl),
                 stash=jax.device_put(stash, repl),
-                gene_mat=jax.device_put(gene_mat, repl),
+                rows3=jax.device_put(rows3, repl),
                 ext_mat=(
                     jax.device_put(ext_mat, repl)
                     if ext_mat is not None
@@ -75,11 +75,14 @@ class DataParallelClassifier:
                 ),
             )
             self.probe = "hashed"
+            self._has_rows = self._hmeta.has_rows
         else:
-            bf_rank, gene_mat, ext_mat = build_device_index(index)
+            bf_rank, pay, rows3, ext_mat = build_device_index(index)
+            self._has_rows = bool((np.diff(index.offsets) >= 3).any())
             self.dix = DeviceIndex(
                 bf_rank=jax.device_put(bf_rank, repl),
-                gene_mat=jax.device_put(gene_mat, repl),
+                pay=jax.device_put(pay, repl),
+                rows3=jax.device_put(rows3, repl),
                 ext_mat=(
                     jax.device_put(ext_mat, repl)
                     if ext_mat is not None
@@ -115,6 +118,7 @@ class DataParallelClassifier:
                     classify_kernel_packed if packed else classify_kernel,
                     meta=meta,
                     max_winners=self.max_winners,
+                    has_rows=self._has_rows,
                 )
             data_shardings = (
                 (batch_sharded, batch_sharded) if packed else (batch_sharded,)

@@ -32,8 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from typing import NamedTuple
+
 from shark_tpu.classify.step import (
-    DeviceIndex,
     StaticMeta,
     emit_threshold_table,
     finish_kernel,
@@ -46,8 +47,16 @@ from shark_tpu.parallel.mesh import make_mesh
 MISS_SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
+class ShardIndexArrays(NamedTuple):
+    """Per-shard device arrays (leading shard axis): the sharded path keeps
+    FULL-width gene rows because they ride the all_to_all reply."""
+
+    bf_rank: jnp.ndarray  # uint32[n, wps, 2]
+    gene_mat: jnp.ndarray  # uint16[n, max_rows, D+1]
+
+
 def shard_index(index: SharkIndex, n: int):
-    """Split a host SharkIndex into n address-range shards of DeviceIndex
+    """Split a host SharkIndex into n address-range shards of per-shard
     arrays, stacked on a leading shard axis for shard_map consumption."""
     n_words = index.bf_words.size
     if n_words % n != 0:
@@ -107,7 +116,7 @@ def shard_index(index: SharkIndex, n: int):
 
 
 def _route_probe_return(
-    dix_shard: DeviceIndex,
+    dix_shard: ShardIndexArrays,
     word_idx: jnp.ndarray,  # int32[b, L] global word indices
     bit_off: jnp.ndarray,  # uint32[b, L]
     win_valid: jnp.ndarray,  # bool[b, L]
@@ -173,7 +182,9 @@ def _route_probe_return(
     r_valid = recv[..., 0] != MISS_SENTINEL
     r_word = jnp.where(r_valid, recv[..., 0], 0).astype(jnp.int32)
     r_bit = recv[..., 1] & 31  # keep shift amounts defined on empty slots
-    gm_r, hit_r = probe_local(dix_shard, r_word, r_bit, r_valid)
+    gm_r, hit_r = probe_local(
+        dix_shard.bf_rank, dix_shard.gene_mat, r_word, r_bit, r_valid
+    )
     reply = jnp.where(
         hit_r[..., None], gm_r, jnp.uint16(0)
     )  # [n, cap, D+1]
@@ -215,7 +226,7 @@ class ShardedBFClassifier:
         self.slack = slack
         bf_ranks, gene_mats, self.wps, self.D = shard_index(index, self.n)
         shard0 = NamedSharding(self.mesh, P(self.axis))
-        self.dix = DeviceIndex(
+        self.dix = ShardIndexArrays(
             bf_rank=jax.device_put(bf_ranks, shard0),
             gene_mat=jax.device_put(gene_mats, shard0),
         )
@@ -244,7 +255,7 @@ class ShardedBFClassifier:
         def step(dix_shard, thresh, *data):
             # shapes inside shard_map: codes [b, L]; dix_shard has the
             # leading shard axis reduced to 1 -> squeeze it
-            dix_local = DeviceIndex(
+            dix_local = ShardIndexArrays(
                 bf_rank=dix_shard.bf_rank[0], gene_mat=dix_shard.gene_mat[0]
             )
             if packed:
@@ -277,7 +288,9 @@ class ShardedBFClassifier:
                 step,
                 mesh=mesh,
                 in_specs=(
-                    DeviceIndex(bf_rank=P(self.axis), gene_mat=P(self.axis)),
+                    ShardIndexArrays(
+                        bf_rank=P(self.axis), gene_mat=P(self.axis)
+                    ),
                     P(),
                 )
                 + data_specs,

@@ -165,13 +165,17 @@ def test_hashed_build_covers_all_positions(workload):
     positions = _set_bit_positions(index)
     mask = (1 << hmeta.lgB) - 1
 
+    d3rows = np.flatnonzero(np.diff(index.offsets) >= 3)
+
     def decode(tag, payload, p):
         if tag == TAG_D1:
             return [payload & 0xFFFF]
         if tag == TAG_D2:
             return [payload & 0xFFFF, payload >> 16]
         assert tag == TAG_ROW
-        lo, hi = index.offsets[payload], index.offsets[payload + 1]
+        # payload indexes the COMPACTED deg>=3 row table
+        r = d3rows[payload]
+        lo, hi = index.offsets[r], index.offsets[r + 1]
         return index.gene_ids[lo:hi].tolist()
 
     tag_shift, rest_mask = (14, 0x3FFF) if hmeta.entry16 else (30, 0x3FFFFFFF)

@@ -112,8 +112,10 @@ def test_high_degree_rows_match_oracle(members):
     D, ext_w = step.index_geometry(index)
     if members > 16:
         # force the capped + extension geometry even though this tiny
-        # index would fit wide rows
+        # index would fit wide rows (the single-chip kernels read the
+        # compacted deg>=3 geometry, _row_geometry3)
         index.__dict__["_row_geometry"] = (8, 64)
+        index.__dict__["_row_geometry3"] = (8, 64)
         D, ext_w = 8, 64
         assert int(np.count_nonzero(np.diff(index.offsets) > 8)) > 0
     L = 128
