@@ -376,19 +376,48 @@ def build_pay(index: SharkIndex) -> np.ndarray:
     return pay
 
 
+def pack_rows_u32(gm16: np.ndarray) -> np.ndarray:
+    """[n, F] u16 rows -> [n, ceil(F/2)] u32 (field 2j low half, 2j+1
+    high half of word j). TPU gather cost is ~linear in ELEMENTS per row
+    (bench/gather_gap.py), so halving the element count nearly halves the
+    wide-row gather; the field unpack is free VPU shift/mask work."""
+    n, F = gm16.shape
+    W = (F + 1) // 2
+    padded = np.zeros((n, 2 * W), dtype=np.uint16)
+    padded[:, :F] = gm16
+    return (
+        padded[:, 0::2].astype(np.uint32)
+        | (padded[:, 1::2].astype(np.uint32) << 16)
+    )
+
+
+def row_field(gm: jnp.ndarray, i: int) -> jnp.ndarray:
+    """uint32 field i of packed-u32 (or plain u16) gene rows."""
+    if gm.dtype == jnp.uint16:
+        return gm[..., i].astype(jnp.uint32)
+    w = gm[..., i >> 1]
+    return (w >> 16) if (i & 1) else (w & jnp.uint32(0xFFFF))
+
+
 def build_rows3(
     index: SharkIndex, ext: bool = True
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Compacted (degree, slots) rows for deg>=3 set bits only (+ extension
     matrix), addressed by the tag-3 payload of build_pay /
-    build_hashed_index."""
+    build_hashed_index. Rows are PACKED two u16 fields per u32 word
+    (pack_rows_u32)."""
     deg = np.diff(index.offsets).astype(np.int64)
     d3 = deg >= 3
     geometry = index_geometry3(index)
     if not d3.any():
-        return np.zeros((1, geometry[0] + 1), dtype=np.uint16), None
+        return pack_rows_u32(
+            np.zeros((1, geometry[0] + 1), dtype=np.uint16)
+        ), None
     gene_flat = np.asarray(index.gene_ids)[np.repeat(d3, deg)]
-    return build_gene_rows(deg[d3], gene_flat, ext, geometry=geometry)
+    gm16, ext_mat = build_gene_rows(
+        deg[d3], gene_flat, ext, geometry=geometry
+    )
+    return pack_rows_u32(gm16), ext_mat
 
 
 def build_gene_mat(
@@ -552,7 +581,7 @@ def keys_from_gm(
     D, ext_w = geometry if geometry is not None else (meta.degree, meta.ext_w)
     G = meta.n_genes
     pos_bits = meta.pos_bits
-    deg = jnp.where(hit, gm[..., 0].astype(jnp.int32), 0)
+    deg = jnp.where(hit, row_field(gm, 0).astype(jnp.int32), 0)
 
     pos_i32 = jnp.broadcast_to(
         (jnp.arange(Ls, dtype=jnp.int32) + off)[None, :], (B, Ls)
@@ -563,7 +592,7 @@ def keys_from_gm(
     keys = []
     if ext_w == 0:
         for d in range(D):
-            g = gm[..., 1 + d].astype(jnp.uint32)
+            g = row_field(gm, 1 + d)
             key = (g << pos_bits) | pos_u32
             keys.append(jnp.where(hit & (d < deg), key, sentinel))
         return keys, row_ovf
@@ -571,7 +600,7 @@ def keys_from_gm(
     # two hold the extension-row index)
     over = deg > D
     for d in range(D):
-        g = gm[..., 1 + d].astype(jnp.uint32)
+        g = row_field(gm, 1 + d)
         key = (g << pos_bits) | pos_u32
         ok = hit & (d < deg) & (~over if d >= D - 2 else True)
         keys.append(jnp.where(ok, key, sentinel))
@@ -587,11 +616,11 @@ def keys_from_gm(
     sneed_c = jnp.minimum(sneed, L - 1)
     scol = jnp.maximum(sneed_c - off, 0)
     gm2 = jnp.take_along_axis(gm, scol[..., None], axis=1)
-    erow = gm2[..., D - 1].astype(jnp.int32) | (
-        gm2[..., D].astype(jnp.int32) << 16
+    erow = row_field(gm2, D - 1).astype(jnp.int32) | (
+        row_field(gm2, D).astype(jnp.int32) << 16
     )
     eg = take_rows(ext_mat, jnp.where(svalid, erow, 0))  # [B, cap2, ext_w]
-    resid = jnp.where(svalid, gm2[..., 0].astype(jnp.int32) - (D - 2), 0)
+    resid = jnp.where(svalid, row_field(gm2, 0).astype(jnp.int32) - (D - 2), 0)
     spos = sneed_c.astype(jnp.uint32)
     for d in range(ext_w):
         g = eg[..., d].astype(jnp.uint32)
