@@ -98,12 +98,15 @@ def main():
         length = jnp.sum((codes < 4).astype(jnp.int32), axis=1)
         return word_idx, bit_off, win_valid, length
 
+    # NOTE: dix must be an ARGUMENT of each jitted fn — a closure would be
+    # captured as a multi-GB compile-time constant (and shipped to the
+    # remote compile session on the tunneled backend)
     stages = {}
     stages["s0 front"] = jax.jit(
-        lambda pk, vm: front(pk, vm)[0].astype(jnp.uint32).sum()
+        lambda dix, pk, vm: front(pk, vm)[0].astype(jnp.uint32).sum()
     )
     stages["s1 +bf_rank gather"] = jax.jit(
-        lambda pk, vm: (
+        lambda dix, pk, vm: (
             lambda f: sum(
                 x.astype(jnp.uint32).sum()
                 for x in probe_rank(dix.bf_rank, f[0], f[1], f[2])
@@ -111,7 +114,7 @@ def main():
         )(front(pk, vm))
     )
     stages["s2 +pay gather (tags)"] = jax.jit(
-        lambda pk, vm: (
+        lambda dix, pk, vm: (
             lambda f: sum(
                 x.astype(jnp.uint32).sum()
                 for x in probe_tags(dix, f[0], f[1], f[2])
@@ -119,7 +122,7 @@ def main():
         )(front(pk, vm))
     )
 
-    def s3(pk, vm):
+    def s3(dix, pk, vm):
         f = front(pk, vm)
         tagv, payv = probe_tags(dix, f[0], f[1], f[2])
         out = finish_from_tags(
@@ -139,11 +142,11 @@ def main():
     stages["s3 full"] = jax.jit(s3)
 
     def timeit(f, reps=3):
-        np.asarray(f(pk, vm))
+        np.asarray(f(dix, pk, vm))
         best = 1e9
         for _ in range(reps):
             t0 = time.time()
-            np.asarray(f(pk, vm))
+            np.asarray(f(dix, pk, vm))
             best = min(best, time.time() - t0)
         return best
 
@@ -159,7 +162,7 @@ def main():
         rng.integers(0, 1 << 26, size=N, dtype=np.int64).astype(np.int32),
         dev,
     )
-    floor = timeit(jax.jit(lambda pk, vm: idx.sum()))
+    floor = timeit(jax.jit(lambda dix, pk, vm: idx.sum()))
     gsum = jax.jit(
         lambda t, i: jnp.take(t, i, axis=0).astype(jnp.uint32).sum()
     )

@@ -86,6 +86,9 @@ def main():
         batch_size=65536,
         max_read_len=104,
     )
+    idx_dir = os.path.join(CACHE, f"index{n_genes}.d")
+    cfg.load_index = idx_dir if os.path.isdir(idx_dir) else ""
+    cfg.save_index = "" if cfg.load_index else idx_dir
     t0 = time.time()
     index = load_or_build_index(cfg, PhaseTimer())
     build_s = time.time() - t0
