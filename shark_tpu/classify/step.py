@@ -117,34 +117,74 @@ class StaticMeta:
 
 def row_geometry(deg: np.ndarray) -> Tuple[int, int]:
     """(inline gene slots D, extension width) from a degree histogram;
-    powers of two to bound recompilation."""
+    powers of two to bound recompilation.
+
+    D covers all but a <= 1e-4 TAIL of rows; tail rows keep D-2 genes
+    inline and spill to the extension table. The tail exists in real
+    indexes because two k-mers colliding on one Bloom position MERGE
+    their gene lists (reference semantics, bloomfilter.h:61-75): an
+    8-member family core colliding with anything becomes a deg 9+ row,
+    and sizing D = pow2(max_deg) for those few rows doubles every row
+    AND the finish sort width. The tail threshold is row-count-based
+    (not sample-based) but safe: tail windows resolve through the exact
+    device ext path (EXT_CAP2 per read), not host redo, so even a
+    sample concentrated on tail rows only pays the small ext gather.
+    Degrees common in the index (true families) always sit below the
+    1e-4 boundary and stay inline."""
+    n_set = deg.size
+    if n_set == 0:
+        return 1, 0
+    max_deg = int(deg.max())
+    D_full = 1 << int(np.ceil(np.log2(max(1, max_deg))))
+    # floor of 32 rows: a real shared region (a ~300bp family core is
+    # ~284 rows) always exceeds it and stays inline; isolated
+    # collision-merged rows (a handful per index) fall under it and take
+    # the ext path. A sub-32-row true repeat would ext-escape too — exact
+    # either way, worst case a few host redos per batch.
+    tail_budget = max(32, n_set // 10000)
+    D = D_full
+    for cand in (4, 8, 16, 32, 64):
+        if cand >= D_full:
+            break
+        if int(np.count_nonzero(deg > cand)) <= tail_budget:
+            D = cand
+            break
+    # byte budget on the row table (transcriptome scale)
+    while D > GENE_D_CHOICES[0] and n_set * (D + 1) * 2 > GENE_MAT_BUDGET:
+        D >>= 1
+    if D >= max_deg:
+        return D, 0
+    resid = max_deg - (D - 2)
+    ext_w = 1 << int(np.ceil(np.log2(max(1, resid))))
+    return D, min(ext_w, EXT_MAX_W)
+
+
+def row_geometry_full(deg: np.ndarray) -> Tuple[int, int]:
+    """Geometry for paths that cannot reach an extension table at query
+    time (the sharded-BF reply rows): D = pow2(max degree), ext only when
+    the byte budget forces a cap (those rows host-recompute)."""
     n_set = deg.size
     if n_set == 0:
         return 1, 0
     max_deg = int(deg.max())
     D = 1 << int(np.ceil(np.log2(max(1, max_deg))))
-    if D <= GENE_D_CHOICES[0]:
+    while D > GENE_D_CHOICES[0] and n_set * (D + 1) * 2 > GENE_MAT_BUDGET:
+        D >>= 1
+    if D >= max_deg:
         return D, 0
-    pick = GENE_D_CHOICES[0]
-    for cand in GENE_D_CHOICES:
-        if n_set * (cand + 1) * 2 > GENE_MAT_BUDGET and cand != GENE_D_CHOICES[0]:
-            break
-        pick = cand
-        if cand >= max_deg:
-            return cand, 0
-    resid = max_deg - (pick - 2)
+    resid = max_deg - (D - 2)
     ext_w = 1 << int(np.ceil(np.log2(max(1, resid))))
-    return pick, min(ext_w, EXT_MAX_W)
+    return D, min(ext_w, EXT_MAX_W)
 
 
 def index_geometry(index: SharkIndex) -> Tuple[int, int]:
-    """Cached FULL row geometry of an index (all set bits; used by the
-    sharded-BF path whose routed rows cover every degree). The histogram
-    scan costs a pass over offsets; every consumer must agree on one
-    answer."""
+    """Cached FULL row geometry of an index (all set bits, no-ext rule;
+    used by the sharded-BF path whose routed rows cover every degree).
+    The histogram scan costs a pass over offsets; every consumer must
+    agree on one answer."""
     geom = index.__dict__.get("_row_geometry")
     if geom is None:
-        geom = row_geometry(np.diff(index.offsets))
+        geom = row_geometry_full(np.diff(index.offsets))
         index.__dict__["_row_geometry"] = geom
     return geom
 
