@@ -18,7 +18,8 @@ Prints ONE JSON line:
   {"metric": "reads_per_sec", "value": N, "unit": "reads/s",
    "vs_baseline": R, "probes_per_sec": P, "pct_gather_ceiling": C,
    "paired_reads_per_sec": N2, "paired_vs_baseline": R2,
-   "q10_reads_per_sec": N3, "q10_vs_baseline": R3}
+   "q10_reads_per_sec": N3, "q10_vs_baseline": R3,
+   "homolog_reads_per_sec": N4, "homolog_vs_baseline": R4}
 """
 
 from __future__ import annotations
@@ -245,6 +246,19 @@ def main() -> None:
         v_q = ours_q["n_reads"] / ours_q["classify_s"]
         out["q10_reads_per_sec"] = round(v_q, 1)
         out["q10_vs_baseline"] = round(v_q / base_q["reads_per_sec"], 3)
+
+        # tie-heavy workload (62 families of 8 sharing a 300bp core; ~4.5
+        # associations per emitted read) — the multi-winner output path
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "homolog_bench", os.path.join(ROOT, "bench", "homolog_bench.py")
+        )
+        hb = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(hb)
+        res_h = hb.run()
+        out["homolog_reads_per_sec"] = res_h["value"]
+        out["homolog_vs_baseline"] = res_h["vs_baseline"]
 
     print(json.dumps(out))
 

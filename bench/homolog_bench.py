@@ -29,8 +29,7 @@ def log(m):
     print(f"[homolog] {m}", file=sys.stderr, flush=True)
 
 
-def main():
-    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+def run(n_reads: int = 500_000) -> dict:
     os.makedirs(CACHE, exist_ok=True)
     fasta = os.path.join(CACHE, "genes.fa")
     fastq = os.path.join(CACHE, f"reads{n_reads}.fq")
@@ -103,22 +102,23 @@ def main():
             "WARNING: association mismatch vs CPU baseline: "
             f"{best['n_associations']} vs {base['n_associations']}"
         )
-    print(
-        json.dumps(
-            {
-                "metric": "homolog_reads_per_sec",
-                "value": round(v, 1),
-                "unit": "reads/s",
-                # NOTE: the CPU baseline only COUNTS associations (no ssv
-                # or FASTQ output), while the TPU side writes ~2.2M ssv
-                # lines + 500k FASTQ records — vs_baseline is conservative
-                "vs_baseline": round(v / base["reads_per_sec"], 3),
-                "n_associations": best["n_associations"],
-                "n_reads_out": best["n_reads_out"],
-                "assoc_per_emitted_read": round(frac_multi, 2),
-            }
-        )
-    )
+    return {
+        "metric": "homolog_reads_per_sec",
+        "value": round(v, 1),
+        "unit": "reads/s",
+        # NOTE: the CPU baseline only COUNTS associations (no ssv
+        # or FASTQ output), while the TPU side writes ~2.2M ssv
+        # lines + 500k FASTQ records — vs_baseline is conservative
+        "vs_baseline": round(v / base["reads_per_sec"], 3),
+        "n_associations": best["n_associations"],
+        "n_reads_out": best["n_reads_out"],
+        "assoc_per_emitted_read": round(frac_multi, 2),
+    }
+
+
+def main():
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    print(json.dumps(run(n_reads)))
 
 
 if __name__ == "__main__":

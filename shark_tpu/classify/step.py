@@ -68,6 +68,14 @@ GENE_MAT_BUDGET = 4 << 30  # primary row-table byte budget
 EXT_MAX_W = 64  # extension-row width cap; reads past it recompute on host
 EXT_CAP2 = 16  # max extension-escaping windows per read before host redo
 
+# Batch-level compaction of deg>=3 row windows (finish_from_tags): when the
+# compacted rows3 geometry is at least this wide, batches where no read has
+# more than ROW_CAP row windows route them through ROW_CAP compacted
+# columns instead of D3 full-width key lanes (sort width 2*Ls + D3*ROW_CAP
+# vs D3*Ls); heavier batches take the full-width branch of the same cond.
+ROW_COMPACT_MIN_D = 8
+ROW_CAP = 16
+
 # Probe-result tags, shared by every probe front-end (the hashed bucket
 # table and the classic rank->payload gather produce the same
 # (tag, payload) stream; one back-end turns it into verdicts):
@@ -611,21 +619,27 @@ def keys_from_gm(
     off: int,
     ext_mat: Optional[jnp.ndarray],
     geometry: Optional[Tuple[int, int]] = None,  # (D, ext_w) of gm's rows
+    positions: Optional[jnp.ndarray] = None,  # i32[B, C] absolute window pos
 ):
     """(gene << pos_bits | pos) sort-key blocks from per-window gene rows,
     handling the capped-degree inline/extension layout. Returns
     (list of uint32[B, *] blocks, row_ovf bool[B]). Shared by the sharded
     path (full-width rows, meta.degree) and the single-chip kernels'
-    degree>=3 cond branch (compacted rows3 geometry)."""
+    degree>=3 cond branch (compacted rows3 geometry). `positions` supplies
+    explicit absolute window positions when gm's columns are a compacted
+    subset of windows rather than the full off..off+Ls-1 axis."""
     B, Ls = hit.shape
     D, ext_w = geometry if geometry is not None else (meta.degree, meta.ext_w)
     G = meta.n_genes
     pos_bits = meta.pos_bits
     deg = jnp.where(hit, row_field(gm, 0).astype(jnp.int32), 0)
 
-    pos_i32 = jnp.broadcast_to(
-        (jnp.arange(Ls, dtype=jnp.int32) + off)[None, :], (B, Ls)
-    )
+    if positions is not None:
+        pos_i32 = positions
+    else:
+        pos_i32 = jnp.broadcast_to(
+            (jnp.arange(Ls, dtype=jnp.int32) + off)[None, :], (B, Ls)
+        )
     sentinel = jnp.uint32(G << pos_bits)
     pos_u32 = pos_i32.astype(jnp.uint32)
     row_ovf = jnp.zeros((B,), dtype=jnp.bool_)
@@ -650,18 +664,25 @@ def keys_from_gm(
         row_ovf = jnp.any(needy, axis=1)
         return keys, row_ovf
     cap2 = EXT_CAP2
-    need_pos = jnp.where(needy, pos_i32, L)
-    sneed = jnp.sort(need_pos, axis=1)[:, :cap2]  # [B, cap2]
-    svalid = sneed < L
-    sneed_c = jnp.minimum(sneed, L - 1)
-    scol = jnp.maximum(sneed_c - off, 0)
+    # compact needy windows by COLUMN index (ascending column == ascending
+    # position in both the full-axis and compacted-positions layouts)
+    C = Ls
+    col_iota = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[None, :], (B, C)
+    )
+    need_col = jnp.where(needy, col_iota, C)
+    scol_s = jnp.sort(need_col, axis=1)[:, :cap2]  # [B, cap2]
+    svalid = scol_s < C
+    scol = jnp.minimum(scol_s, C - 1)
     gm2 = jnp.take_along_axis(gm, scol[..., None], axis=1)
     erow = row_field(gm2, D - 1).astype(jnp.int32) | (
         row_field(gm2, D).astype(jnp.int32) << 16
     )
     eg = take_rows(ext_mat, jnp.where(svalid, erow, 0))  # [B, cap2, ext_w]
     resid = jnp.where(svalid, row_field(gm2, 0).astype(jnp.int32) - (D - 2), 0)
-    spos = sneed_c.astype(jnp.uint32)
+    spos = jnp.where(
+        svalid, jnp.take_along_axis(pos_i32, scol, axis=1), 0
+    ).astype(jnp.uint32)
     for d in range(ext_w):
         g = eg[..., d].astype(jnp.uint32)
         key = (g << pos_bits) | spos
@@ -792,44 +813,76 @@ def finish_from_tags(
         is_row = tagv == TAG_ROW
         row_idx = jnp.where(is_row, payv, 0).astype(jnp.int32)
 
-        def with_rows(_):
+        def _finish(extra_keys, base_keys, ovf):
+            key_mat = jnp.concatenate(base_keys + list(extra_keys), axis=1)
+            return finish_from_keys(
+                key_mat, length, thresh, ovf,
+                meta=meta, max_winners=max_winners, L=L,
+            )
+
+        def full_branch(_):
             gm = take_rows(rows3, row_idx)
             ks, ovf = keys_from_gm(
-                gm,
-                is_row,
-                meta=meta,
-                L=L,
-                off=off,
-                ext_mat=ext_mat,
-                geometry=geometry3,
+                gm, is_row,
+                meta=meta, L=L, off=off,
+                ext_mat=ext_mat, geometry=geometry3,
             )
-            return tuple(ks), ovf
+            # a window is EITHER direct (<=2 keys) or a row (<=D3 keys),
+            # never both, so the first two row lanes fold into the direct
+            # lanes (exactly one side is non-sentinel; sentinel is the max
+            # key) — sort width (D3+2)*Ls -> max(D3,2)*Ls
+            ks = list(ks)
+            folded = list(keys)
+            for i in range(min(2, len(ks))):
+                if ks[i].shape == folded[i].shape:
+                    folded[i] = jnp.minimum(folded[i], ks[i])
+                    ks[i] = None
+            return _finish([x for x in ks if x is not None], folded, ovf)
 
-        def without(_):
-            ks = [
-                jnp.full((B, Ls), sentinel) for _ in range(meta.degree3)
-            ]
-            if meta.ext3_w and ext_mat is not None:
-                ks += [
-                    jnp.full((B, EXT_CAP2), sentinel)
-                    for _ in range(meta.ext3_w)
-                ]
-            return tuple(ks), jnp.zeros((B,), dtype=jnp.bool_)
+        if meta.degree3 >= ROW_COMPACT_MIN_D:
+            # Wide-row indexes (transcriptome scale: D3 up to 16) sort
+            # D3*Ls-wide key matrices even though deg>=3 windows are
+            # typically ~0.25% collision-made rows. Batches where no read
+            # exceeds ROW_CAP row windows compact them to ROW_CAP columns
+            # (sort width 2*Ls + D3*ROW_CAP instead of D3*Ls); a
+            # family-heavy batch (every core window a row) falls back to
+            # the full-width branch — exact either way, no host redo.
+            pos_i32 = pos_u32.astype(jnp.int32)
+            col_iota = jnp.broadcast_to(
+                jnp.arange(Ls, dtype=jnp.int32)[None, :], (B, Ls)
+            )
 
-        row_keys, row_ovf = jax.lax.cond(
-            jnp.any(is_row), with_rows, without, None
+            def compact_branch(_):
+                need_col = jnp.where(is_row, col_iota, Ls)
+                scol_s = jnp.sort(need_col, axis=1)[:, :ROW_CAP]
+                svalid = scol_s < Ls
+                scol = jnp.minimum(scol_s, Ls - 1)
+                ridx = jnp.where(
+                    svalid, jnp.take_along_axis(row_idx, scol, axis=1), 0
+                )
+                cpos = jnp.where(
+                    svalid, jnp.take_along_axis(pos_i32, scol, axis=1), 0
+                )
+                gm = take_rows(rows3, ridx)
+                ks, ovf = keys_from_gm(
+                    gm, svalid,
+                    meta=meta, L=L, off=off,
+                    ext_mat=ext_mat, geometry=geometry3,
+                    positions=cpos,
+                )
+                return _finish(ks, keys, ovf)
+
+            n_row = jnp.sum(is_row.astype(jnp.int32), axis=1)
+            return jax.lax.cond(
+                jnp.max(n_row) <= ROW_CAP, compact_branch, full_branch, None
+            )
+
+        return jax.lax.cond(
+            jnp.any(is_row),
+            full_branch,
+            lambda _: _finish([], keys, row_ovf),
+            None,
         )
-        # a window is EITHER direct (<=2 keys) or a row (<=D3 keys), never
-        # both, so the first two row lanes fold into the direct lanes
-        # (exactly one side is non-sentinel; sentinel is the max key) —
-        # the finish sort width drops from (D3+2)*Ls to max(D3,2)*Ls
-        row_keys = list(row_keys)
-        for i in range(min(2, len(row_keys))):
-            if row_keys[i].shape == keys[i].shape:
-                keys[i] = jnp.minimum(keys[i], row_keys[i])
-            else:
-                keys.append(row_keys[i])
-        keys.extend(row_keys[2:])
 
     key_mat = jnp.concatenate(keys, axis=1)
     return finish_from_keys(

@@ -137,6 +137,60 @@ def test_high_degree_rows_match_oracle(members):
     assert gi.tolist() == want_g
 
 
+@pytest.mark.parametrize("members", [12, 40])
+def test_row_compaction_light_batch(members):
+    """Batches where every read has <= ROW_CAP deg>=3 windows take the
+    COMPACTED row branch of finish_from_tags (sort width 2*Ls+D3*ROW_CAP);
+    verdicts must match the oracle exactly, including rows resolved
+    through the extension table (forced capped geometry)."""
+    import shark_tpu.classify.step as step
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import _winner_pairs
+
+    index, oracle, _ = _high_degree_workload(members)
+    if members > 16:
+        index.__dict__["_row_geometry"] = (8, 64)
+        index.__dict__["_row_geometry3"] = (8, 64)
+    meta = step.StaticMeta.for_index(index, 128)
+    assert meta.degree3 >= step.ROW_COMPACT_MIN_D  # cond path compiled
+
+    # reconstruct member 0's sequence (same rng replay as the generator);
+    # reads ending o bases into the core have max(0, o-K+1) deg>=members
+    # windows — keep every read at <= ROW_CAP row windows so the whole
+    # batch takes the compact branch
+    rng3 = np.random.default_rng(7)
+    core3 = BASES[rng3.integers(0, 4, size=200)]
+    left3 = BASES[rng3.integers(0, 4, size=60)]
+    right3 = BASES[rng3.integers(0, 4, size=60)]
+    member_seq = np.concatenate([left3, core3, right3]).tobytes()
+
+    reads = []
+    for o in range(1, 25):  # end o bases into the core (o-K+1 core k-mers)
+        end = 60 + o
+        reads.append(member_seq[max(0, end - 90) : end])
+    for s in range(8):  # fully-flank reads: zero row windows
+        reads.append(member_seq[s : s + 40])
+    # o <= 24 with K=15 -> at most 10 core (deg>=3) windows per read, and
+    # the o=24 read has 10 > 0 of them, so the compact branch really runs
+    assert max(0, 24 - K + 1) <= step.ROW_CAP
+
+    L = 128
+    codes = np.full((len(reads), L), 4, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_bytes(r)
+    clf = Classifier(index, max_winners=24, c=0.6)
+    result = clf(codes)
+    cfg = SharkConfig(fasta_path="x", sample1_path="y")
+    ri, gi = _winner_pairs(cfg, index, result, len(reads), codes, 24)
+    want_r, want_g = [], []
+    for i, r in enumerate(reads):
+        wins, _, _ = classify_read(oracle, encode_bytes(r), 0.6, False)
+        want_r.extend([i] * len(wins))
+        want_g.extend(wins)
+    assert ri.tolist() == want_r
+    assert gi.tolist() == want_g
+
+
 def test_extra_pair_stream_and_fallback(homolog_workload):
     """The compacted extra-winner pair fetch (pipeline._winner_pairs fast
     path) and its truncation fallback must both reproduce the oracle's
