@@ -174,6 +174,34 @@ def test_paired_fasta_fused_qual_quirk(tmp_path):
     ns.close()
 
 
+@pytest.mark.parametrize(
+    "blob",
+    [
+        b"@r1\nACGT\n+\nIII\n",  # qual shorter than seq
+        b"@r1\nACGT\n+\nIIIII\n@r2\nAC\n+\nII\n",  # qual longer than seq
+        b"@r1\nACGT\nIIII\n",  # missing '+' separator line
+    ],
+    ids=["qual-short", "qual-long", "no-plus"],
+)
+def test_malformed_record_rejected_by_both_parsers(tmp_path, blob):
+    """Native and Python parsers must agree on REJECTION too: a malformed
+    record raises (never a silent truncation reported as success — the
+    reference's kseq returns -2 for a qual/seq mismatch, kseq.h:214-216)."""
+    path = tmp_path / "bad.fq"
+    path.write_bytes(b"@ok\nACGT\n+\nIIII\n" + blob)
+
+    with pytest.raises(ValueError):
+        list(read_fastq(str(path)))
+
+    ns = native.NativeStream(str(path), "", 16, 64, 0)
+    with pytest.raises(ValueError, match="malformed"):
+        total = 0
+        while (nb := ns.next_batch()) is not None:
+            total += nb[-1]
+            ns.release(nb[1])
+    ns.close()
+
+
 def test_native_parser_empty_file(tmp_path):
     path = tmp_path / "empty.fq"
     path.write_bytes(b"")
