@@ -98,6 +98,7 @@ class StaticMeta:
     ext_w: int = 0  # extension-row width (0 = no rows overflow the cap)
     degree3: int = 1  # COMPACTED deg>=3 row geometry (rows3 tables)
     ext3_w: int = 0
+    degree3_mid: int = 1  # mid-tier inline lane count (== degree3: no mid)
 
     @classmethod
     def for_index(cls, index: SharkIndex, max_len: int) -> "StaticMeta":
@@ -120,6 +121,7 @@ class StaticMeta:
             ext_w=ext_w,
             degree3=degree3,
             ext3_w=ext3_w,
+            degree3_mid=index_geometry3_mid(index),
         )
 
 
@@ -210,6 +212,39 @@ def index_geometry3(index: SharkIndex) -> Tuple[int, int]:
         geom = row_geometry(deg[deg >= 3])
         index.__dict__["_row_geometry3"] = geom
     return geom
+
+
+def index_geometry3_mid(index: SharkIndex) -> int:
+    """Mid-tier inline lane count for the rows3 tables: the smallest power
+    of two below degree3 such that wider rows are RARE in the index
+    (<= max(32, n_deg3/100)). Returns degree3 itself when no tier exists
+    (no rare tail, or the table already uses extension rows).
+
+    Transcriptome-scale indexes commonly get degree3 = 16 because a few
+    family-core rows collision-merge past 8 genes, while ~99% of deg>=3
+    rows are 8-member family cores. The mid finish branch then scores the
+    first degree3_mid genes of every row window through full-width lanes
+    and the rare residual genes through ROW_CAP compacted columns —
+    batches where any read has too many wide windows (a REAL 9+-member
+    family) fall back to the full-width branch of the same cond, so
+    rare-in-index-but-hot-in-sample rows cost fallback speed, never
+    exactness or host redo."""
+    mid = index.__dict__.get("_row_geometry3_mid")
+    if mid is None:
+        D3, ext3_w = index_geometry3(index)
+        mid = D3
+        if ext3_w == 0 and D3 >= ROW_COMPACT_MIN_D:
+            deg = np.diff(index.offsets)
+            deg3 = deg[deg >= 3]
+            budget = max(32, deg3.size // 100)
+            for cand in (4, 8, 16, 32):
+                if cand >= D3:
+                    break
+                if int(np.count_nonzero(deg3 > cand)) <= budget:
+                    mid = cand
+                    break
+        index.__dict__["_row_geometry3_mid"] = mid
+    return mid
 
 
 def _mod_size(h: u64.U64, size_bits: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -820,8 +855,7 @@ def finish_from_tags(
                 meta=meta, max_winners=max_winners, L=L,
             )
 
-        def full_branch(_):
-            gm = take_rows(rows3, row_idx)
+        def full_from_gm(gm):
             ks, ovf = keys_from_gm(
                 gm, is_row,
                 meta=meta, L=L, off=off,
@@ -839,29 +873,43 @@ def finish_from_tags(
                     ks[i] = None
             return _finish([x for x in ks if x is not None], folded, ovf)
 
+        def full_branch(_):
+            return full_from_gm(take_rows(rows3, row_idx))
+
         if meta.degree3 >= ROW_COMPACT_MIN_D:
             # Wide-row indexes (transcriptome scale: D3 up to 16) sort
-            # D3*Ls-wide key matrices even though deg>=3 windows are
-            # typically ~0.25% collision-made rows. Batches where no read
-            # exceeds ROW_CAP row windows compact them to ROW_CAP columns
-            # (sort width 2*Ls + D3*ROW_CAP instead of D3*Ls); a
-            # family-heavy batch (every core window a row) falls back to
-            # the full-width branch — exact either way, no host redo.
+            # D3*Ls-wide key matrices even when most deg>=3 windows are
+            # rare collision rows or modest family cores. Three finish
+            # tiers under batch-level conds, all bit-exact:
+            #   light: no read has > ROW_CAP row windows -> rows gathered
+            #     at ROW_CAP compacted columns (width 2*Ls + D3*ROW_CAP);
+            #   mid (degree3_mid < degree3, ext-free tables): every row
+            #     window scores its first degree3_mid genes through
+            #     full-width lanes; the rare wider windows (<= ROW_CAP per
+            #     read) add their residual genes at compacted columns
+            #     (width ~(degree3_mid)*Ls + (D3-mid)*ROW_CAP);
+            #   full: the all-lanes fallback (width D3*Ls).
             pos_i32 = pos_u32.astype(jnp.int32)
             col_iota = jnp.broadcast_to(
                 jnp.arange(Ls, dtype=jnp.int32)[None, :], (B, Ls)
             )
 
-            def compact_branch(_):
-                need_col = jnp.where(is_row, col_iota, Ls)
+            def _compact_cols(mask):
+                """Columns of up to ROW_CAP True entries of mask, with
+                validity and absolute positions."""
+                need_col = jnp.where(mask, col_iota, Ls)
                 scol_s = jnp.sort(need_col, axis=1)[:, :ROW_CAP]
                 svalid = scol_s < Ls
                 scol = jnp.minimum(scol_s, Ls - 1)
-                ridx = jnp.where(
-                    svalid, jnp.take_along_axis(row_idx, scol, axis=1), 0
-                )
                 cpos = jnp.where(
                     svalid, jnp.take_along_axis(pos_i32, scol, axis=1), 0
+                )
+                return scol, svalid, cpos
+
+            def compact_branch(_):
+                scol, svalid, cpos = _compact_cols(is_row)
+                ridx = jnp.where(
+                    svalid, jnp.take_along_axis(row_idx, scol, axis=1), 0
                 )
                 gm = take_rows(rows3, ridx)
                 ks, ovf = keys_from_gm(
@@ -872,9 +920,58 @@ def finish_from_tags(
                 )
                 return _finish(ks, keys, ovf)
 
+            def heavy_path(_):
+                gm = take_rows(rows3, row_idx)
+                Dm = meta.degree3_mid
+                if not (Dm < meta.degree3 and meta.ext3_w == 0):
+                    return full_from_gm(gm)
+                deg = jnp.where(
+                    is_row, row_field(gm, 0).astype(jnp.int32), 0
+                )
+                heavy = is_row & (deg > Dm)
+
+                def mid_branch(_):
+                    folded = list(keys)
+                    mk = []
+                    for d in range(Dm):
+                        g = row_field(gm, 1 + d)
+                        lane = jnp.where(
+                            is_row & (d < deg),
+                            (g << pos_bits) | pos_u32,
+                            sentinel,
+                        )
+                        if d < 2:
+                            folded[d] = jnp.minimum(folded[d], lane)
+                        else:
+                            mk.append(lane)
+                    scol, svalid, cpos = _compact_cols(heavy)
+                    gm2 = jnp.take_along_axis(gm, scol[..., None], axis=1)
+                    rdeg = jnp.where(
+                        svalid, row_field(gm2, 0).astype(jnp.int32), 0
+                    )
+                    spos = cpos.astype(jnp.uint32)
+                    for d in range(Dm, meta.degree3):
+                        g = row_field(gm2, 1 + d)
+                        mk.append(
+                            jnp.where(
+                                svalid & (d < rdeg),
+                                (g << pos_bits) | spos,
+                                sentinel,
+                            )
+                        )
+                    return _finish(mk, folded, row_ovf)
+
+                n_heavy = jnp.sum(heavy.astype(jnp.int32), axis=1)
+                return jax.lax.cond(
+                    jnp.max(n_heavy) <= ROW_CAP,
+                    mid_branch,
+                    lambda _: full_from_gm(gm),
+                    None,
+                )
+
             n_row = jnp.sum(is_row.astype(jnp.int32), axis=1)
             return jax.lax.cond(
-                jnp.max(n_row) <= ROW_CAP, compact_branch, full_branch, None
+                jnp.max(n_row) <= ROW_CAP, compact_branch, heavy_path, None
             )
 
         return jax.lax.cond(

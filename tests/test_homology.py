@@ -191,6 +191,79 @@ def test_row_compaction_light_batch(members):
     assert gi.tolist() == want_g
 
 
+def test_mid_tier_matches_oracle():
+    """Mid finish tier (degree3_mid < degree3, ext-free rows3): deg<=mid
+    windows score through full-width lanes, the rare wider windows through
+    ROW_CAP compacted residual columns. One batch stays under the per-read
+    heavy cap (mid branch), one exceeds it (full fallback) — both must
+    match the oracle exactly."""
+    import shark_tpu.classify.step as step
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import _winner_pairs
+
+    rng = np.random.default_rng(21)
+    records = []
+    coreA = BASES[rng.integers(0, 4, size=200)]  # deg-8 family (common)
+    for m in range(8):
+        left = BASES[rng.integers(0, 4, size=60)]
+        right = BASES[rng.integers(0, 4, size=60)]
+        records.append(
+            (f"A{m}", np.concatenate([left, coreA, right]).tobytes())
+        )
+    coreB = BASES[rng.integers(0, 4, size=60)]  # deg-12 region (rare tail)
+    for m in range(12):
+        left = BASES[rng.integers(0, 4, size=130)]
+        right = BASES[rng.integers(0, 4, size=130)]
+        records.append(
+            (f"B{m}", np.concatenate([left, coreB, right]).tobytes())
+        )
+    for g in range(40):
+        records.append(
+            (f"S{g}", BASES[rng.integers(0, 4, size=400)].tobytes())
+        )
+    index = build_index(records, K, SIZE_BITS)
+    oracle = build_oracle_index(records, K, SIZE_BITS)
+    # force the wide ext-free geometry + mid tier a transcriptome-scale
+    # histogram would produce (the tiny test index caps to 8+ext instead)
+    index.__dict__["_row_geometry3"] = (16, 0)
+    index.__dict__["_row_geometry3_mid"] = 8
+    meta = step.StaticMeta.for_index(index, 128)
+    assert meta.degree3 == 16 and meta.ext3_w == 0
+    assert meta.degree3_mid == 8
+
+    b_seq = records[8][1]  # B0: 130 left + 60 core + 130 right
+    a_seq = records[0][1]
+    # batch 1: every read has <= ROW_CAP deg>8 windows -> mid branch:
+    #   - reads ending o bases into coreB (o-K+1 <= 16 heavy windows)
+    #   - deep coreA reads (76 deg-8 row windows, ZERO heavy)
+    batch1 = []
+    for o in range(K, K + 16):
+        end = 130 + o
+        batch1.append(b_seq[end - 90 : end])
+    for s in range(60, 70):
+        batch1.append(a_seq[s : s + 90])
+    # batch 2: a read fully inside coreB has 60-K+1 = 46 > ROW_CAP heavy
+    # windows -> the whole batch takes the full-width fallback
+    batch2 = [b_seq[115 : 115 + 90], a_seq[60:150], b_seq[:90]]
+
+    clf = Classifier(index, max_winners=24, c=0.6)
+    cfg = SharkConfig(fasta_path="x", sample1_path="y")
+    for reads in (batch1, batch2):
+        L = 128
+        codes = np.full((len(reads), L), 4, dtype=np.uint8)
+        for i, r in enumerate(reads):
+            codes[i, : len(r)] = encode_bytes(r)
+        result = clf(codes)
+        ri, gi = _winner_pairs(cfg, index, result, len(reads), codes, 24)
+        want_r, want_g = [], []
+        for i, r in enumerate(reads):
+            wins, _, _ = classify_read(oracle, encode_bytes(r), 0.6, False)
+            want_r.extend([i] * len(wins))
+            want_g.extend(wins)
+        assert ri.tolist() == want_r
+        assert gi.tolist() == want_g
+
+
 def test_extra_pair_stream_and_fallback(homolog_workload):
     """The compacted extra-winner pair fetch (pipeline._winner_pairs fast
     path) and its truncation fallback must both reproduce the oracle's
