@@ -98,7 +98,6 @@ class StaticMeta:
     ext_w: int = 0  # extension-row width (0 = no rows overflow the cap)
     degree3: int = 1  # COMPACTED deg>=3 row geometry (rows3 tables)
     ext3_w: int = 0
-    degree3_mid: int = 1  # mid-tier inline lane count (== degree3: no mid)
 
     @classmethod
     def for_index(cls, index: SharkIndex, max_len: int) -> "StaticMeta":
@@ -121,7 +120,6 @@ class StaticMeta:
             ext_w=ext_w,
             degree3=degree3,
             ext3_w=ext3_w,
-            degree3_mid=index_geometry3_mid(index),
         )
 
 
@@ -212,39 +210,6 @@ def index_geometry3(index: SharkIndex) -> Tuple[int, int]:
         geom = row_geometry(deg[deg >= 3])
         index.__dict__["_row_geometry3"] = geom
     return geom
-
-
-def index_geometry3_mid(index: SharkIndex) -> int:
-    """Mid-tier inline lane count for the rows3 tables: the smallest power
-    of two below degree3 such that wider rows are RARE in the index
-    (<= max(32, n_deg3/100)). Returns degree3 itself when no tier exists
-    (no rare tail, or the table already uses extension rows).
-
-    Transcriptome-scale indexes commonly get degree3 = 16 because a few
-    family-core rows collision-merge past 8 genes, while ~99% of deg>=3
-    rows are 8-member family cores. The mid finish branch then scores the
-    first degree3_mid genes of every row window through full-width lanes
-    and the rare residual genes through ROW_CAP compacted columns —
-    batches where any read has too many wide windows (a REAL 9+-member
-    family) fall back to the full-width branch of the same cond, so
-    rare-in-index-but-hot-in-sample rows cost fallback speed, never
-    exactness or host redo."""
-    mid = index.__dict__.get("_row_geometry3_mid")
-    if mid is None:
-        D3, ext3_w = index_geometry3(index)
-        mid = D3
-        if ext3_w == 0 and D3 >= ROW_COMPACT_MIN_D:
-            deg = np.diff(index.offsets)
-            deg3 = deg[deg >= 3]
-            budget = max(32, deg3.size // 100)
-            for cand in (4, 8, 16, 32):
-                if cand >= D3:
-                    break
-                if int(np.count_nonzero(deg3 > cand)) <= budget:
-                    mid = cand
-                    break
-        index.__dict__["_row_geometry3_mid"] = mid
-    return mid
 
 
 def _mod_size(h: u64.U64, size_bits: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -877,18 +842,15 @@ def finish_from_tags(
             return full_from_gm(take_rows(rows3, row_idx))
 
         if meta.degree3 >= ROW_COMPACT_MIN_D:
-            # Wide-row indexes (transcriptome scale: D3 up to 16) sort
-            # D3*Ls-wide key matrices even when most deg>=3 windows are
-            # rare collision rows or modest family cores. Three finish
-            # tiers under batch-level conds, all bit-exact:
-            #   light: no read has > ROW_CAP row windows -> rows gathered
-            #     at ROW_CAP compacted columns (width 2*Ls + D3*ROW_CAP);
-            #   mid (degree3_mid < degree3, ext-free tables): every row
-            #     window scores its first degree3_mid genes through
-            #     full-width lanes; the rare wider windows (<= ROW_CAP per
-            #     read) add their residual genes at compacted columns
-            #     (width ~(degree3_mid)*Ls + (D3-mid)*ROW_CAP);
-            #   full: the all-lanes fallback (width D3*Ls).
+            # Wide-row indexes (transcriptome scale: D3 up to 16) pay a
+            # full-width [B, Ls] rows3 gather per batch even when deg>=3
+            # windows are rare collision rows. Batches where no read has
+            # more than ROW_CAP row windows gather rows at ROW_CAP
+            # compacted columns instead (the win is the ~5.8M-row gather
+            # shrinking to ~1M — per-row sort width is nearly free on the
+            # VPU, measured in bench/profile_finish.py); heavier batches
+            # (family cores) take the full-width branch of the same cond.
+            # Both branches are bit-exact.
             pos_i32 = pos_u32.astype(jnp.int32)
             col_iota = jnp.broadcast_to(
                 jnp.arange(Ls, dtype=jnp.int32)[None, :], (B, Ls)
@@ -920,58 +882,16 @@ def finish_from_tags(
                 )
                 return _finish(ks, keys, ovf)
 
-            def heavy_path(_):
-                gm = take_rows(rows3, row_idx)
-                Dm = meta.degree3_mid
-                if not (Dm < meta.degree3 and meta.ext3_w == 0):
-                    return full_from_gm(gm)
-                deg = jnp.where(
-                    is_row, row_field(gm, 0).astype(jnp.int32), 0
-                )
-                heavy = is_row & (deg > Dm)
-
-                def mid_branch(_):
-                    folded = list(keys)
-                    mk = []
-                    for d in range(Dm):
-                        g = row_field(gm, 1 + d)
-                        lane = jnp.where(
-                            is_row & (d < deg),
-                            (g << pos_bits) | pos_u32,
-                            sentinel,
-                        )
-                        if d < 2:
-                            folded[d] = jnp.minimum(folded[d], lane)
-                        else:
-                            mk.append(lane)
-                    scol, svalid, cpos = _compact_cols(heavy)
-                    gm2 = jnp.take_along_axis(gm, scol[..., None], axis=1)
-                    rdeg = jnp.where(
-                        svalid, row_field(gm2, 0).astype(jnp.int32), 0
-                    )
-                    spos = cpos.astype(jnp.uint32)
-                    for d in range(Dm, meta.degree3):
-                        g = row_field(gm2, 1 + d)
-                        mk.append(
-                            jnp.where(
-                                svalid & (d < rdeg),
-                                (g << pos_bits) | spos,
-                                sentinel,
-                            )
-                        )
-                    return _finish(mk, folded, row_ovf)
-
-                n_heavy = jnp.sum(heavy.astype(jnp.int32), axis=1)
-                return jax.lax.cond(
-                    jnp.max(n_heavy) <= ROW_CAP,
-                    mid_branch,
-                    lambda _: full_from_gm(gm),
-                    None,
-                )
-
+            # (A "mid tier" — inline lanes for the common degree plus
+            # compacted residual columns for rare wider windows — measured
+            # a 11% LOSS on the 50k-gene txome bench: XLA's per-row sort
+            # is cheap at these widths, while the column-compaction
+            # machinery (a [B,Ls] sort + take_alongs) is not. The light
+            # branch below wins only because it removes the full-width
+            # rows3 GATHER, not because it narrows the sort.)
             n_row = jnp.sum(is_row.astype(jnp.int32), axis=1)
             return jax.lax.cond(
-                jnp.max(n_row) <= ROW_CAP, compact_branch, heavy_path, None
+                jnp.max(n_row) <= ROW_CAP, compact_branch, full_branch, None
             )
 
         return jax.lax.cond(

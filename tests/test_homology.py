@@ -191,12 +191,11 @@ def test_row_compaction_light_batch(members):
     assert gi.tolist() == want_g
 
 
-def test_mid_tier_matches_oracle():
-    """Mid finish tier (degree3_mid < degree3, ext-free rows3): deg<=mid
-    windows score through full-width lanes, the rare wider windows through
-    ROW_CAP compacted residual columns. One batch stays under the per-read
-    heavy cap (mid branch), one exceeds it (full fallback) — both must
-    match the oracle exactly."""
+def test_wide_rows_light_and_full_branches():
+    """Wide ext-free rows3 geometry (degree3=16, the transcriptome shape):
+    a batch where every read has <= ROW_CAP deg>=3 windows takes the
+    compacted-columns branch; a batch with a deep-core read takes the
+    full-width fallback — both must match the oracle exactly."""
     import shark_tpu.classify.step as step
     from shark_tpu.config import SharkConfig
     from shark_tpu.pipeline import _winner_pairs
@@ -223,27 +222,22 @@ def test_mid_tier_matches_oracle():
         )
     index = build_index(records, K, SIZE_BITS)
     oracle = build_oracle_index(records, K, SIZE_BITS)
-    # force the wide ext-free geometry + mid tier a transcriptome-scale
-    # histogram would produce (the tiny test index caps to 8+ext instead)
+    # force the wide ext-free geometry a transcriptome-scale histogram
+    # would produce (the tiny test index caps to 8+ext instead)
     index.__dict__["_row_geometry3"] = (16, 0)
-    index.__dict__["_row_geometry3_mid"] = 8
     meta = step.StaticMeta.for_index(index, 128)
     assert meta.degree3 == 16 and meta.ext3_w == 0
-    assert meta.degree3_mid == 8
 
     b_seq = records[8][1]  # B0: 130 left + 60 core + 130 right
     a_seq = records[0][1]
-    # batch 1: every read has <= ROW_CAP deg>8 windows -> mid branch:
-    #   - reads ending o bases into coreB (o-K+1 <= 16 heavy windows)
-    #   - deep coreA reads (76 deg-8 row windows, ZERO heavy)
+    # batch 1: reads ending o bases into coreB have o-K+1 <= 16 deg>=3
+    # windows -> the whole batch takes the compacted-columns branch
     batch1 = []
     for o in range(K, K + 16):
         end = 130 + o
         batch1.append(b_seq[end - 90 : end])
-    for s in range(60, 70):
-        batch1.append(a_seq[s : s + 90])
-    # batch 2: a read fully inside coreB has 60-K+1 = 46 > ROW_CAP heavy
-    # windows -> the whole batch takes the full-width fallback
+    # batch 2: a deep coreA read has 90-K+1 = 76 > ROW_CAP row windows ->
+    # the whole batch takes the full-width fallback
     batch2 = [b_seq[115 : 115 + 90], a_seq[60:150], b_seq[:90]]
 
     clf = Classifier(index, max_winners=24, c=0.6)
