@@ -157,7 +157,7 @@ def run_baseline(fasta, fastq, fastq2="", minq=0, best_of=3) -> dict:
 
 
 def run_tpu(
-    fasta, fastq, fastq2="", minq=0, max_len=MAX_LEN, passes=2,
+    fasta, fastq, fastq2="", minq=0, max_len=MAX_LEN, passes=3,
     batch_size=65536,
 ):
     from shark_tpu.config import SharkConfig

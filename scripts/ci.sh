@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# CI-style gate: fast suite + golden CLI equality on CPU, then (optional)
+# a one-batch TPU smoke in the same process to bound tunneled session-init
+# cost. Usage: scripts/ci.sh [--tpu]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== fast suite (CPU) =="
+python -m pytest tests/ -q -m "not slow"
+
+echo "== golden CLI equality (CPU backend) =="
+tmp=$(mktemp -d)
+trap 'rm -rf "$tmp"' EXIT
+python -m shark_tpu --backend cpu \
+  -r /root/reference/example/ENSG00000277117.fa \
+  -1 /root/reference/example/sample_1.fq \
+  -2 /root/reference/example/sample_2.fq \
+  -o "$tmp/out1.fq" -p "$tmp/out2.fq" > "$tmp/out.ssv"
+diff "$tmp/out.ssv" /root/reference/example/ENSG00000277117.truth.ssv
+diff "$tmp/out1.fq" /root/reference/example/sharked.sample_1.truth.fq
+diff "$tmp/out2.fq" /root/reference/example/sharked.sample_2.truth.fq
+echo "golden: OK"
+
+if [[ "${1:-}" == "--tpu" ]]; then
+  echo "== TPU smoke (one tiny batch; first jit pays session init) =="
+  python - <<'EOF'
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+t0 = time.time()
+x = jnp.arange(8, dtype=jnp.int32)
+np.asarray(x * 2)
+print(f"device {jax.devices()[0].platform} ok, init+exec {time.time()-t0:.1f}s")
+EOF
+fi
+echo "CI gate passed"
