@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the native C++ host I/O engine")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--resume", action="store_true",
+                   help="checkpoint per batch to <ssv>.progress and resume "
+                        "an interrupted run from the last checkpoint "
+                        "(requires --ssv, --max-read-len, plain outputs)")
     # multi-host launch (one process per host; see parallel/distributed.py)
     p.add_argument("--coordinator", default="",
                    help="jax.distributed coordinator address host:port")
@@ -108,6 +112,7 @@ def config_from_args(args: argparse.Namespace) -> SharkConfig:
         ssv_path=args.ssv_path,
         use_native=not args.no_native,
         profile_dir=args.profile_dir,
+        resume=args.resume,
     )
 
 

@@ -47,6 +47,11 @@ class SharkConfig:
     # boundary stalls dispatch more than the saved fixed fetch cost), so
     # the default is 1; the mechanism remains for higher-latency links.
     fetch_group: int = 1
+    # Checkpoint/resume (native path; no reference analogue): writes a
+    # <ssv>.progress sidecar per drained batch and restarts an interrupted
+    # run from the last checkpoint, byte-identically.
+    resume: bool = False
+    fail_after_batches: int = 0  # test hook: inject a crash mid-sample
 
     @property
     def paired(self) -> bool:

@@ -67,7 +67,11 @@ def get_lib():
         lib.shk_set_output.restype = ctypes.c_int
         lib.shk_set_output.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
-            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.shk_tell.restype = ctypes.c_int
+        lib.shk_tell.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_long),
         ]
         lib.shk_register_genes.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
@@ -147,12 +151,29 @@ class NativeStream:
         self.packed = packed
         self._names_ref = None  # keep char* array alive
 
-    def set_output(self, ssv_fd: int, ssv_path: str, out1: str, out2: str):
+    def set_output(
+        self,
+        ssv_fd: int,
+        ssv_path: str,
+        out1: str,
+        out2: str,
+        append: bool = False,
+    ):
         rc = self._lib.shk_set_output(
-            self._h, ssv_fd, ssv_path.encode(), out1.encode(), out2.encode()
+            self._h, ssv_fd, ssv_path.encode(), out1.encode(), out2.encode(),
+            1 if append else 0,
         )
         if rc != 0:
             raise OSError("cannot open output files")
+
+    def tell(self):
+        """Flush output buffers; return (ssv_off, out1_off, out2_off) byte
+        offsets (-1 where absent/unseekable). Valid truncate targets for
+        checkpoint/resume."""
+        offs = (ctypes.c_long * 3)()
+        if self._lib.shk_tell(self._h, offs) != 0:
+            raise OSError("output flush failed")
+        return int(offs[0]), int(offs[1]), int(offs[2])
 
     def register_genes(self, names: List[str]) -> None:
         arr = (ctypes.c_char_p * len(names))(*[n.encode() for n in names])

@@ -192,13 +192,17 @@ struct OutFile {
   bool werr = false;  // latched write failure (disk full, I/O error)
   std::string buf;  // batch small writes into ~1MB flushes (tie-heavy
                     // panels emit hundreds of thousands of records/batch)
-  bool open_path(const char* path) {
+  bool open_path(const char* path, bool append = false) {
     size_t n = strlen(path);
     if (n > 3 && strcmp(path + n - 3, ".gz") == 0) {
+      // append would start a new gzip member, but resume also needs
+      // mid-member truncation, which gzip cannot do — callers refuse
+      // resume for .gz outputs before getting here
+      if (append) return false;
       gz = gzopen(path, "wb");
       return gz != nullptr;
     }
-    f = fopen(path, "wb");
+    f = fopen(path, append ? "ab" : "wb");
     return f != nullptr;
   }
   bool is_open() const { return f || gz; }
@@ -511,18 +515,42 @@ void shk_release(void* h, int slot) {
 }
 
 int shk_set_output(void* h, int ssv_fd, const char* ssv_path,
-                   const char* out1, const char* out2) {
+                   const char* out1, const char* out2, int append) {
   Stream* s = (Stream*)h;
   if (ssv_path && ssv_path[0]) {
-    s->ssv = fopen(ssv_path, "wb");
+    s->ssv = fopen(ssv_path, append ? "ab" : "wb");
     s->own_ssv = true;
   } else {
     s->ssv = fdopen(dup(ssv_fd), "wb");
     s->own_ssv = true;
   }
   if (!s->ssv) return -1;
-  if (out1 && out1[0] && !s->out1.open_path(out1)) return -1;
-  if (out2 && out2[0] && !s->out2.open_path(out2)) return -1;
+  if (out1 && out1[0] && !s->out1.open_path(out1, append != 0)) return -1;
+  if (out2 && out2[0] && !s->out2.open_path(out2, append != 0)) return -1;
+  return 0;
+}
+
+// Flush all output buffers and report current byte offsets (ssv, out1,
+// out2; -1 where the output is absent or not seekable, e.g. gzip).
+// Checkpoint support: the offsets are valid truncate targets for resume.
+int shk_tell(void* h, long* offs) {
+  Stream* s = (Stream*)h;
+  offs[0] = offs[1] = offs[2] = -1;
+  if (s->ssv) {
+    if (fflush(s->ssv) != 0) return -1;
+    offs[0] = ftell(s->ssv);
+  }
+  OutFile* outs[2] = {&s->out1, &s->out2};
+  for (int i = 0; i < 2; i++) {
+    OutFile& o = *outs[i];
+    if (!o.is_open()) continue;
+    o.flush();
+    if (o.werr) return -1;
+    if (o.f) {
+      if (fflush(o.f) != 0) return -1;
+      offs[1 + i] = ftell(o.f);
+    }
+  }
   return 0;
 }
 

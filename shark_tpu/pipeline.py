@@ -235,10 +235,89 @@ def _unpack_row_np(packed_row: np.ndarray, vmask_row: np.ndarray) -> np.ndarray:
     return np.where(v, c, 4).astype(np.uint8)
 
 
+_PROGRESS_KEYS = (
+    "sample1_path", "sample2_path", "batch_size", "max_read_len",
+    "k", "c", "min_quality", "out1_path", "out2_path", "single",
+)
+
+
+def _progress_identity(cfg: SharkConfig) -> dict:
+    return {key: getattr(cfg, key) for key in _PROGRESS_KEYS}
+
+
+def _load_progress(path: str, cfg: SharkConfig):
+    """Validate + apply a resume checkpoint: truncate outputs to the
+    recorded offsets and return the number of reads already classified.
+    Returns 0 (fresh start) when no checkpoint exists."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        st = json.load(f)
+    if st.get("identity") != _progress_identity(cfg):
+        raise ValueError(
+            f"resume checkpoint {path} was written by a different "
+            "invocation (inputs/outputs/parameters differ)"
+        )
+    for out_path, off in zip(
+        (cfg.ssv_path, cfg.out1_path, cfg.out2_path), st["offsets"]
+    ):
+        if off < 0 or not out_path:
+            continue
+        if not os.path.exists(out_path) or os.path.getsize(out_path) < off:
+            raise ValueError(
+                f"resume checkpoint {path} expects {out_path} to hold "
+                f">= {off} bytes; refusing to resume"
+            )
+        os.truncate(out_path, off)
+    return int(st["reads_done"])
+
+
+def _write_progress(path: str, cfg: SharkConfig, reads_done: int, offsets):
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "identity": _progress_identity(cfg),
+                "reads_done": reads_done,
+                "offsets": list(offsets),
+            },
+            f,
+        )
+    os.replace(tmp, path)
+
+
 def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     """Fast path: parse/encode/write in the native C++ engine, device in a
-    DEPTH-deep software pipeline. Requires a fixed max_read_len."""
+    DEPTH-deep software pipeline. Requires a fixed max_read_len.
+
+    With cfg.resume, a `<ssv>.progress` sidecar records (reads classified,
+    output byte offsets) after every drained batch; an interrupted run
+    restarts by truncating the outputs to the last checkpoint, skipping the
+    already-classified reads at parse speed (~2M reads/s, no device work),
+    and appending — byte-identical to an uninterrupted run. The reference
+    has no recovery story (SURVEY §5); a crash there restarts from zero."""
     from shark_tpu.io.native import NativeStream
+
+    progress_path = ""
+    reads_done0 = 0
+    if cfg.resume:
+        if not cfg.ssv_path:
+            raise ValueError(
+                "--resume requires --ssv FILE (stdout cannot be checkpointed)"
+            )
+        if cfg.out1_path.endswith(".gz") or cfg.out2_path.endswith(".gz"):
+            raise ValueError(
+                "--resume requires uncompressed output FASTQs (gzip cannot "
+                "be truncated mid-member)"
+            )
+        progress_path = cfg.ssv_path + ".progress"
+        reads_done0 = _load_progress(progress_path, cfg)
 
     use_packed = hasattr(classifier, "call_packed") and cfg.max_read_len % 8 == 0
     ns = NativeStream(
@@ -249,7 +328,10 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
         cfg.min_quality,
         packed=use_packed,
     )
-    ns.set_output(1, cfg.ssv_path, cfg.out1_path, cfg.out2_path)
+    ns.set_output(
+        1, cfg.ssv_path, cfg.out1_path, cfg.out2_path,
+        append=reads_done0 > 0,
+    )
     ns.register_genes(index.gene_names)
 
     # The drain (fetch verdicts -> winner pairs -> native emit) runs on its
@@ -287,6 +369,8 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     # SLOWER on the tunneled dev TPU (69.8k vs 126.3k reads/s on the
     # tie-heavy homolog bench) — d2h fetches there appear to hold the GIL,
     # so extra Python threads only add contention. Single drain thread.
+    reads_done = [reads_done0]  # drained reads (checkpoint counter)
+
     def drainer():
         while True:
             item = q.get()
@@ -310,6 +394,11 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
                     )
                     ns.emit(s_, ri, gi)
                     off += cfg.batch_size
+                    reads_done[0] += n_
+                    if progress_path:
+                        _write_progress(
+                            progress_path, cfg, reads_done[0], ns.tell()
+                        )
             except BaseException as e:  # noqa: BLE001 - reraised on main
                 drain_err.append(e)
 
@@ -331,27 +420,60 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     th = threading.Thread(target=drainer, daemon=True)
     th.start()
     n_reads = 0
+    n_batches = 0
     group: List[tuple] = []
-    while not drain_err:
-        nb = ns.next_batch()
-        if nb is None:
-            break
-        if use_packed:
-            packed, vmask, slot, n = nb
-            host_codes = (packed, vmask)
-            result = classifier.call_packed(packed, vmask)
-        else:
-            host_codes, slot, n = nb
-            result = classifier(host_codes)
-        n_reads += n
-        group.append((host_codes, slot, n, result))
-        if len(group) == GROUP:
-            flush_group(group)
-    flush_group(group)
-    q.put(None)
-    th.join()
-    if drain_err:
-        raise drain_err[0]
+    try:
+        # resume: consume the already-classified reads at parse speed
+        # (release each slot unclassified — no device work, no output)
+        skip_left = reads_done0
+        while skip_left > 0:
+            nb = ns.next_batch()
+            if nb is None or nb[-1] > skip_left:
+                raise ValueError(
+                    "resume checkpoint claims more classified reads than "
+                    "the sample holds at this batch size"
+                )
+            ns.release(nb[-2])
+            skip_left -= nb[-1]
+
+        while not drain_err:
+            nb = ns.next_batch()
+            if nb is None:
+                break
+            if use_packed:
+                packed, vmask, slot, n = nb
+                host_codes = (packed, vmask)
+                result = classifier.call_packed(packed, vmask)
+            else:
+                host_codes, slot, n = nb
+                result = classifier(host_codes)
+            n_reads += n
+            n_batches += 1
+            group.append((host_codes, slot, n, result))
+            if len(group) == GROUP:
+                flush_group(group)
+            if cfg.fail_after_batches and n_batches >= cfg.fail_after_batches:
+                raise RuntimeError("injected failure (fail_after_batches)")
+        flush_group(group)
+        q.put(None)
+        th.join()
+        if drain_err:
+            raise drain_err[0]
+    except BaseException:
+        # crash path: drain whatever is queued (each drained batch still
+        # advances the checkpoint), stop the drain thread, and close
+        # without masking the original error; outputs + sidecar remain
+        # for --resume
+        try:
+            q.put(None)
+            th.join()
+        except Exception:
+            pass
+        try:
+            ns.close()
+        except Exception:
+            pass
+        raise
 
     timer.mark("Sample completed")
     timer.rate("throughput", n_reads, "reads")
@@ -366,7 +488,14 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
         "classify_s": elapsed - warm_s,
         "native": True,
     }
+    if reads_done0:
+        stats["resumed_reads"] = reads_done0
     ns.close()
+    if progress_path:
+        import os
+
+        if os.path.exists(progress_path):
+            os.remove(progress_path)
     return stats
 
 
@@ -490,6 +619,11 @@ def _run_pipeline_inner(
             stats["warmup_s"] -= index_s
             stats["classify_s"] = stats["elapsed_s"] - index_s - stats["warmup_s"]
             return stats
+
+    if cfg.resume:
+        raise ValueError(
+            "--resume requires the native engine and a fixed --max-read-len"
+        )
 
     own_ssv = None
     if ssv_stream is None and cfg.ssv_path:

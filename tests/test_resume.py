@@ -1,0 +1,123 @@
+"""Checkpoint/resume (native path): an interrupted run restarts from the
+<ssv>.progress sidecar and the final outputs are byte-identical to an
+uninterrupted run. Capability beyond the reference (SURVEY §5: no
+checkpoint/recovery story there)."""
+
+import json
+import os
+
+import pytest
+
+from shark_tpu.config import SharkConfig
+from shark_tpu.io import native
+from shark_tpu.pipeline import (
+    Classifier,
+    _load_progress,
+    load_or_build_index,
+    run_pipeline,
+)
+from shark_tpu.utils.timers import PhaseTimer
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not native.available(), reason="native engine unavailable"
+    ),
+]
+
+EX = "/root/reference/example"
+BATCH = 512
+
+
+def _cfg(d, **kw):
+    os.makedirs(d, exist_ok=True)
+    return SharkConfig(
+        fasta_path=f"{EX}/ENSG00000277117.fa",
+        sample1_path=f"{EX}/sample_1.fq",
+        sample2_path=f"{EX}/sample_2.fq",
+        out1_path=f"{d}/out1.fq",
+        out2_path=f"{d}/out2.fq",
+        ssv_path=f"{d}/out.ssv",
+        batch_size=BATCH,
+        max_read_len=208,
+        **kw,
+    )
+
+
+def _read_outputs(d):
+    return tuple(
+        open(f"{d}/{f}", "rb").read() for f in ("out.ssv", "out1.fq", "out2.fq")
+    )
+
+
+def test_resume_after_injected_crash(tmp_path):
+    full_dir = str(tmp_path / "full")
+    res_dir = str(tmp_path / "res")
+
+    cfg0 = _cfg(full_dir)
+    index = load_or_build_index(cfg0, PhaseTimer())
+    clf = Classifier(index, max_winners=cfg0.max_winners, c=cfg0.c)
+
+    stats_full = run_pipeline(_cfg(full_dir), classifier=clf)
+    want = _read_outputs(full_dir)
+    assert stats_full["n_associations"] > 0
+
+    # crash after 4 dispatched batches; the shutdown path drains everything
+    # queued, so the checkpoint lands at exactly 4 * BATCH reads
+    with pytest.raises(RuntimeError, match="injected"):
+        run_pipeline(
+            _cfg(res_dir, resume=True, fail_after_batches=4), classifier=clf
+        )
+    sidecar = f"{res_dir}/out.ssv.progress"
+    st = json.load(open(sidecar))
+    assert st["reads_done"] == 4 * BATCH
+    # the interrupted outputs are a proper prefix (close() may have
+    # flushed a bit past the checkpoint; resume truncates to it)
+    got_partial = _read_outputs(res_dir)
+    assert all(len(g) <= len(w) for g, w in zip(got_partial, want))
+
+    stats = run_pipeline(_cfg(res_dir, resume=True), classifier=clf)
+    assert stats["resumed_reads"] == 4 * BATCH
+    assert not os.path.exists(sidecar)
+    assert _read_outputs(res_dir) == want
+    # sidecar counted; totals reflect only the resumed stretch
+    assert stats["n_reads"] == stats_full["n_reads"] - 4 * BATCH
+
+
+def test_resume_fresh_run_with_flag_matches(tmp_path):
+    """--resume with no checkpoint is a plain run that leaves no sidecar."""
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg0 = _cfg(d1)
+    index = load_or_build_index(cfg0, PhaseTimer())
+    clf = Classifier(index, max_winners=cfg0.max_winners, c=cfg0.c)
+    run_pipeline(_cfg(d1), classifier=clf)
+    run_pipeline(_cfg(d2, resume=True), classifier=clf)
+    assert not os.path.exists(f"{d2}/out.ssv.progress")
+    assert _read_outputs(d1) == _read_outputs(d2)
+
+
+def test_resume_rejects_mismatched_checkpoint(tmp_path):
+    d = str(tmp_path / "x")
+    cfg = _cfg(d, resume=True)
+    sidecar = f"{d}/out.ssv.progress"
+    json.dump(
+        {"identity": {"k": 99}, "reads_done": 512, "offsets": [0, 0, 0]},
+        open(sidecar, "w"),
+    )
+    with pytest.raises(ValueError, match="different"):
+        _load_progress(sidecar, cfg)
+
+
+def test_resume_requires_native_fixed_len(tmp_path):
+    cfg = _cfg(str(tmp_path / "y"), resume=True)
+    cfg.max_read_len = 0  # auto-length -> python path
+    with pytest.raises(ValueError, match="resume requires"):
+        run_pipeline(cfg)
+
+
+def test_resume_rejects_gz_outputs(tmp_path):
+    d = str(tmp_path / "z")
+    cfg = _cfg(d, resume=True)
+    cfg.out1_path += ".gz"
+    with pytest.raises(ValueError, match="uncompressed"):
+        run_pipeline(cfg)
