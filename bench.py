@@ -248,17 +248,23 @@ def main() -> None:
         out["q10_vs_baseline"] = round(v_q / base_q["reads_per_sec"], 3)
 
         # tie-heavy workload (62 families of 8 sharing a 300bp core; ~4.5
-        # associations per emitted read) — the multi-winner output path
-        import importlib.util
+        # associations per emitted read) — the multi-winner output path.
+        # Guarded: a failure here must not discard the already-measured
+        # primary metrics (the driver contract is the one JSON line).
+        try:
+            import importlib.util
 
-        spec = importlib.util.spec_from_file_location(
-            "homolog_bench", os.path.join(ROOT, "bench", "homolog_bench.py")
-        )
-        hb = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(hb)
-        res_h = hb.run()
-        out["homolog_reads_per_sec"] = res_h["value"]
-        out["homolog_vs_baseline"] = res_h["vs_baseline"]
+            spec = importlib.util.spec_from_file_location(
+                "homolog_bench",
+                os.path.join(ROOT, "bench", "homolog_bench.py"),
+            )
+            hb = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(hb)
+            res_h = hb.run()
+            out["homolog_reads_per_sec"] = res_h["value"]
+            out["homolog_vs_baseline"] = res_h["vs_baseline"]
+        except Exception as e:  # noqa: BLE001 - secondary metric only
+            log(f"WARNING: homolog sub-bench failed, omitting its keys: {e}")
 
     print(json.dumps(out))
 

@@ -890,8 +890,17 @@ def finish_from_tags(
             # branch below wins only because it removes the full-width
             # rows3 GATHER, not because it narrows the sort.)
             n_row = jnp.sum(is_row.astype(jnp.int32), axis=1)
+            # row-free batches skip even the compacted gather + row lanes
             return jax.lax.cond(
-                jnp.max(n_row) <= ROW_CAP, compact_branch, full_branch, None
+                jnp.any(is_row),
+                lambda _: jax.lax.cond(
+                    jnp.max(n_row) <= ROW_CAP,
+                    compact_branch,
+                    full_branch,
+                    None,
+                ),
+                lambda _: _finish([], keys, row_ovf),
+                None,
             )
 
         return jax.lax.cond(

@@ -238,6 +238,9 @@ def _unpack_row_np(packed_row: np.ndarray, vmask_row: np.ndarray) -> np.ndarray:
 _PROGRESS_KEYS = (
     "sample1_path", "sample2_path", "batch_size", "max_read_len",
     "k", "c", "min_quality", "out1_path", "out2_path", "single",
+    # index identity: resuming against a different reference/index would
+    # silently mix classifications from two indexes in one output
+    "fasta_path", "bf_gb", "load_index",
 )
 
 
@@ -253,9 +256,15 @@ def _load_progress(path: str, cfg: SharkConfig):
     import os
 
     if not os.path.exists(path):
-        return 0
-    with open(path) as f:
-        st = json.load(f)
+        return None
+    try:
+        with open(path) as f:
+            st = json.load(f)
+    except (json.JSONDecodeError, OSError) as e:
+        raise ValueError(
+            f"resume checkpoint {path} is unreadable ({e}); remove it to "
+            "restart from scratch"
+        ) from e
     if st.get("identity") != _progress_identity(cfg):
         raise ValueError(
             f"resume checkpoint {path} was written by a different "
@@ -272,10 +281,14 @@ def _load_progress(path: str, cfg: SharkConfig):
                 f">= {off} bytes; refusing to resume"
             )
         os.truncate(out_path, off)
-    return int(st["reads_done"])
+    return st
 
 
-def _write_progress(path: str, cfg: SharkConfig, reads_done: int, offsets):
+def _write_progress(path: str, cfg: SharkConfig, reads_done: int, offsets, counts):
+    """Atomically replace the sidecar (tmp + fsync + rename). Crash-safety
+    scope: process death (OOM, preemption, device loss). True power-loss
+    durability would additionally require fsyncing the output files per
+    batch, which this deliberately does not do."""
     import json
     import os
 
@@ -286,9 +299,13 @@ def _write_progress(path: str, cfg: SharkConfig, reads_done: int, offsets):
                 "identity": _progress_identity(cfg),
                 "reads_done": reads_done,
                 "offsets": list(offsets),
+                "n_associations": counts[0],
+                "n_reads_out": counts[1],
             },
             f,
         )
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
@@ -306,6 +323,8 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
 
     progress_path = ""
     reads_done0 = 0
+    base_assoc = 0
+    base_reads_out = 0
     if cfg.resume:
         if not cfg.ssv_path:
             raise ValueError(
@@ -317,7 +336,11 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
                 "be truncated mid-member)"
             )
         progress_path = cfg.ssv_path + ".progress"
-        reads_done0 = _load_progress(progress_path, cfg)
+        st0 = _load_progress(progress_path, cfg)
+        if st0 is not None:
+            reads_done0 = int(st0["reads_done"])
+            base_assoc = int(st0.get("n_associations", 0))
+            base_reads_out = int(st0.get("n_reads_out", 0))
 
     use_packed = hasattr(classifier, "call_packed") and cfg.max_read_len % 8 == 0
     ns = NativeStream(
@@ -397,7 +420,11 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
                     reads_done[0] += n_
                     if progress_path:
                         _write_progress(
-                            progress_path, cfg, reads_done[0], ns.tell()
+                            progress_path, cfg, reads_done[0], ns.tell(),
+                            (
+                                base_assoc + int(ns.n_associations),
+                                base_reads_out + int(ns.n_reads_out),
+                            ),
                         )
             except BaseException as e:  # noqa: BLE001 - reraised on main
                 drain_err.append(e)
@@ -478,10 +505,13 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     timer.mark("Sample completed")
     timer.rate("throughput", n_reads, "reads")
     elapsed = timer.elapsed()
+    # whole-sample totals (resumed prefix counts come from the sidecar so
+    # stats match the files); classify_s covers only this invocation —
+    # subtract resumed_reads for throughput math
     stats = {
-        "n_reads": n_reads,
-        "n_associations": int(ns.n_associations),
-        "n_reads_out": int(ns.n_reads_out),
+        "n_reads": n_reads + reads_done0,
+        "n_associations": base_assoc + int(ns.n_associations),
+        "n_reads_out": base_reads_out + int(ns.n_reads_out),
         "n_genes": index.n_genes,
         "elapsed_s": elapsed,
         "warmup_s": warm_s,

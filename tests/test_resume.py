@@ -80,8 +80,10 @@ def test_resume_after_injected_crash(tmp_path):
     assert stats["resumed_reads"] == 4 * BATCH
     assert not os.path.exists(sidecar)
     assert _read_outputs(res_dir) == want
-    # sidecar counted; totals reflect only the resumed stretch
-    assert stats["n_reads"] == stats_full["n_reads"] - 4 * BATCH
+    # whole-sample totals (resumed prefix folded in from the sidecar)
+    assert stats["n_reads"] == stats_full["n_reads"]
+    assert stats["n_associations"] == stats_full["n_associations"]
+    assert stats["n_reads_out"] == stats_full["n_reads_out"]
 
 
 def test_resume_fresh_run_with_flag_matches(tmp_path):
