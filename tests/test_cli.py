@@ -56,6 +56,13 @@ def test_validation_rejects(args, msg):
         cfg.validate()
 
 
+def test_resume_flag_plumbed():
+    assert _cfg(BASE).resume is False
+    cfg = _cfg(BASE + ["--resume", "--ssv", "o.ssv", "--max-read-len", "104"])
+    assert cfg.resume is True
+    assert cfg.ssv_path == "o.ssv"
+
+
 def test_short_and_long_flags_agree():
     a = _cfg(BASE + ["-k", "21", "-c", "0.8", "-b", "2", "-q", "20", "-s", "-t", "4"])
     b = _cfg([
