@@ -548,9 +548,59 @@ def load_or_build_index(cfg: SharkConfig, timer: PhaseTimer) -> SharkIndex:
         index = build_index(read_fasta(cfg.fasta_path), cfg.k, cfg.bf_bits)
     timer.mark(f"BF created from transcripts ({index.n_genes} genes)")
     if cfg.save_index:
-        index.save(cfg.save_index)
-        timer.mark("Index saved")
+        _start_index_save(index, cfg.save_index)
     return index
+
+
+def _start_index_save(index: SharkIndex, path: str) -> None:
+    """Serialize the index on a background thread (an .npz save costs
+    ~18 s at the default scale — it overlaps device warmup + the classify
+    stream instead of delaying them). Writes to a .partial name and
+    publishes with an atomic rename so an interrupted save never leaves a
+    half-written index at the requested path. _join_index_save() reraises
+    any failure before the pipeline reports success."""
+    import threading
+
+    err: List[BaseException] = []
+
+    def _bg():
+        try:
+            import os
+            import shutil
+
+            if path.endswith(".npz"):
+                tmp = path[:-4] + ".partial.npz"
+            else:
+                tmp = path.rstrip("/") + ".partial"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            elif os.path.exists(tmp):
+                os.remove(tmp)
+            index.save(tmp)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            elif os.path.exists(path):
+                os.remove(path)
+            os.replace(tmp, path)
+        except BaseException as e:  # noqa: BLE001 - reraised on join
+            err.append(e)
+
+    # non-daemon: the interpreter joins it at exit, so even callers that
+    # never reach _join_index_save get a complete (or cleanly absent) file
+    th = threading.Thread(target=_bg, daemon=False)
+    th.start()
+    index.__dict__["_save_thread"] = (th, err)
+
+
+def _join_index_save(index: SharkIndex, timer: PhaseTimer) -> None:
+    pending = index.__dict__.pop("_save_thread", None)
+    if pending is None:
+        return
+    th, err = pending
+    th.join()
+    if err:
+        raise err[0]
+    timer.mark("Index saved")
 
 
 def _smoke_check_inputs(cfg: SharkConfig) -> None:
@@ -648,6 +698,7 @@ def _run_pipeline_inner(
             stats["index_s"] = index_s
             stats["warmup_s"] -= index_s
             stats["classify_s"] = stats["elapsed_s"] - index_s - stats["warmup_s"]
+            _join_index_save(index, timer)
             return stats
 
     if cfg.resume:
@@ -701,6 +752,7 @@ def _run_pipeline_inner(
     writer.close()
     if own_ssv is not None:
         own_ssv.close()
+    _join_index_save(index, timer)
 
     timer.mark("Sample completed")
     timer.rate("throughput", n_reads, "reads")

@@ -94,6 +94,36 @@ def test_pipeline_single_end_matches_oracle(example_dir, tmp_path):
     assert ssv.getvalue() == "".join(want_lines)
 
 
+@pytest.mark.slow
+def test_background_index_save_via_pipeline(example_dir, tmp_path):
+    """--save-index runs on a background thread overlapped with classify;
+    the pipeline must still publish a complete, loadable index and a
+    load-index rerun must reproduce the outputs byte-for-byte."""
+    from shark_tpu.index.structure import SharkIndex
+
+    idx_dir = tmp_path / "idx.d"
+
+    def cfg(d, **kw):
+        d.mkdir(exist_ok=True)
+        return SharkConfig(
+            fasta_path=str(example_dir / "ENSG00000277117.fa"),
+            sample1_path=str(example_dir / "sample_1.fq"),
+            out1_path=str(d / "out.fq"),
+            ssv_path=str(d / "out.ssv"),
+            batch_size=2048,
+            max_read_len=104,
+            **kw,
+        )
+
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    run_pipeline(cfg(d1, save_index=str(idx_dir)))
+    idx = SharkIndex.load(str(idx_dir))  # complete and loadable
+    assert idx.k == 17
+    run_pipeline(cfg(d2, load_index=str(idx_dir)))
+    for f in ("out.ssv", "out.fq"):
+        assert (d1 / f).read_bytes() == (d2 / f).read_bytes()
+
+
 def test_index_save_load_roundtrip(example_dir, tmp_path):
     from shark_tpu.index.build import build_index
     from shark_tpu.index.structure import SharkIndex
