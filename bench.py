@@ -139,8 +139,26 @@ def build_baseline() -> str:
     return exe
 
 
+def settle(index=None) -> None:
+    """Serialize pending background work out of the timed region: join a
+    pending background index save (pipeline._start_index_save) and flush
+    dirty pages. A fresh-cache bench run otherwise writes the ~2.1 GiB
+    index save DURING the timed passes, and the flush poisons minutes of
+    subsequent measurement on this 4-core host (measured 2026-08-18:
+    single-end classify 5.7s during the flush vs 0.43s clean — a 13x
+    artifact corruption; the driver's end-of-round run starts from a clean
+    checkout, i.e. exactly this path)."""
+    if index is not None:
+        from shark_tpu.pipeline import _join_index_save
+        from shark_tpu.utils.timers import PhaseTimer
+
+        _join_index_save(index, PhaseTimer())
+    subprocess.run(["sync"], check=False)
+
+
 def run_baseline(fasta, fastq, fastq2="", minq=0, best_of=3) -> dict:
     exe = build_baseline()
+    settle()
     threads = os.cpu_count() or 1
     best = None
     for _ in range(best_of):
@@ -187,6 +205,7 @@ def run_tpu(
     from shark_tpu.utils.timers import PhaseTimer
 
     index = load_or_build_index(cfg, PhaseTimer())
+    settle(index)  # index save + page flush must NOT overlap timed passes
     cfg.load_index = idx_dir
     cfg.save_index = ""
     classifier = Classifier(index, max_winners=cfg.max_winners, c=cfg.c)

@@ -92,6 +92,10 @@ def main():
     t0 = time.time()
     index = load_or_build_index(cfg, PhaseTimer())
     build_s = time.time() - t0
+    sys.path.insert(0, ROOT)
+    import bench as bench_mod
+
+    bench_mod.settle(index)  # save + flush must not overlap timed passes
     D, ext_w = index_geometry(index)
     n_set = index.n_set_bits
     gene_mat_mb = n_set * (D + 1) * 2 / 1e6

@@ -18,11 +18,16 @@ and one step performs:
   all_to_all probe buckets -> owners probe locally (two gathers)
   all_to_all replies back -> scatter into [B/n, L, D+1] -> finish_kernel
 
-Bucket capacity is `slack * P/n` (P probes per device); XXH64 spreads
-probes uniformly so overflow is statistically negligible for slack >= 1.5
-at realistic sizes. Overflowed probes (dropped, counted) are reported per
-batch so the host can fall back / resize; `overflow == 0` is asserted in
-the pipeline.
+Bucket capacity defaults to an adaptive binomial-tail bound (mean + 8
+sigma): XXH64 spreads DISTINCT k-mers uniformly, so for i.i.d. probes the
+per-owner count is Binomial(P, 1/n) and 8 sigma of headroom makes overflow
+astronomically unlikely while sending ~half the bytes of the old blanket
+2x slack. Duplicate probes (PCR-duplicated reads, low-complexity k-mers)
+are NOT independent — in the worst case every probe lands on one owner,
+which no fixed slack covers — so overflow is recoverable, not fatal:
+overflowed probes are dropped + counted per batch, and the pipeline calls
+`reprobe()` to re-run that batch with a geometrically larger cap (the
+grown cap sticks for subsequent batches).
 """
 
 from __future__ import annotations
@@ -215,7 +220,7 @@ class ShardedBFClassifier:
         c: float = 0.6,
         mesh: Mesh | None = None,
         n_devices: int = 0,
-        slack: float = 2.0,
+        slack: float | None = None,
     ):
         self.index = index
         self.max_winners = max_winners
@@ -223,7 +228,8 @@ class ShardedBFClassifier:
         self.mesh = mesh or make_mesh(n_devices)
         self.axis = self.mesh.axis_names[0]
         self.n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
-        self.slack = slack
+        self.slack = slack  # None = adaptive binomial-tail cap
+        self.cap_mult = 1.0  # grown by reprobe() after an overflow
         bf_ranks, gene_mats, self.wps, self.D = shard_index(index, self.n)
         shard0 = NamedSharding(self.mesh, P(self.axis))
         self.dix = ShardIndexArrays(
@@ -233,8 +239,59 @@ class ShardedBFClassifier:
         self._fns = {}
         self._thresh = {}
 
+    def _probe_cap(self, b: int, L: int) -> int:
+        """Per-owner routing bucket capacity for a per-device batch of b
+        reads of padded length L. With `slack` set: the explicit
+        `slack * P/n`. Default (adaptive): Binomial(P, 1/n) mean + 8 sigma
+        + 64 — overflow odds ~1e-15/batch for i.i.d. XXH64 probes, and any
+        duplicate-probe pathology is recovered by reprobe()'s geometric
+        growth. Never exceeds b*L (all probes on one owner)."""
+        total = b * L
+        mean = total / self.n
+        if self.slack is not None:
+            cap = self.slack * mean
+        else:
+            cap = mean + 8.0 * mean**0.5 + 64.0
+        cap = int(np.ceil(cap * self.cap_mult))
+        return max(8, min(cap, total))
+
+    def grow_cap(self) -> None:
+        """Double every subsequent compile's routing cap (and drop the jit
+        cache so the next call picks it up)."""
+        self.cap_mult *= 2.0
+        self._fns.clear()
+
+    def reprobe(self, codes, attempts: int = 0):
+        """Spill-and-retry after a routing overflow: re-run ONE batch with
+        geometrically larger caps until its probes fit. `codes` is either
+        a [B, L] uint8 code array or a (packed, vmask) planar pair. The
+        grown cap sticks, so a workload that overflows once doesn't pay a
+        recompile per batch. The default attempt count is enough doublings
+        to saturate the cap at all-probes-on-one-owner, where overflow is
+        impossible — so the returned result is overflow-free unless the
+        caller passed a smaller `attempts`."""
+        if isinstance(codes, tuple):
+            B, L = codes[0].shape[0], codes[0].shape[1] * 4
+        else:
+            B, L = codes.shape
+        if attempts <= 0:
+            total = (B // self.n) * L
+            cap0 = self._probe_cap(B // self.n, L)
+            attempts = max(1, int(np.ceil(np.log2(total / cap0))) + 1)
+        result = None
+        for _ in range(attempts):
+            self.grow_cap()
+            result = (
+                self.call_packed(*codes)
+                if isinstance(codes, tuple)
+                else self(codes)
+            )
+            if int(np.asarray(result[4]).sum()) == 0:
+                break
+        return result
+
     def _fn(self, B: int, L: int, packed: bool = False):
-        key = (B, L, packed)
+        key = (B, L, packed, self.cap_mult)
         fn = self._fns.get(key)
         if fn is not None:
             return fn
@@ -248,8 +305,7 @@ class ShardedBFClassifier:
                 f"per-device probe count {pn} x {n} shards exceeds 32-bit "
                 "routing keys; reduce the per-device batch"
             )
-        cap = int(np.ceil(self.slack * b * L / n))
-        cap = max(cap, 8)
+        cap = self._probe_cap(b, L)
         max_winners = self.max_winners
 
         def step(dix_shard, thresh, *data):

@@ -98,12 +98,14 @@ def _drain(
     result,
     writer: OutputWriter,
     max_winners: int,
+    reprobe=None,
 ) -> None:
     """Decode one batch's verdicts and emit through the Python writer
     (non-native path); shares all verdict/overflow logic with the native
     path via _winner_pairs."""
     ri, gi = _winner_pairs(
-        cfg, index, result, batch.n, batch.codes, max_winners
+        cfg, index, result, batch.n, batch.codes, max_winners,
+        reprobe=reprobe,
     )
     names = index.gene_names
     rec2 = batch.recs2
@@ -130,11 +132,14 @@ def _winner_pairs(
     codes: np.ndarray,
     max_winners: int,
     packed_np: Optional[np.ndarray] = None,
+    reprobe=None,
 ):
     """Device result -> (read_idx, gene_idx) association arrays, read-ascending,
     genes ascending within a read (the reference's emission order,
     ReadAnalyzer.hpp:104-108 + ReadOutput.hpp:43-48). `packed_np` supplies a
-    pre-fetched packed-verdict array (grouped-fetch fast path)."""
+    pre-fetched packed-verdict array (grouped-fetch fast path); `reprobe`
+    (sharded-BF spill-and-retry) re-runs the batch with a larger routing
+    cap when the overflow counter fires."""
     from shark_tpu.classify.step import (
         PACK_EMIT_SHIFT,
         PACK_NW_BITS,
@@ -144,6 +149,15 @@ def _winner_pairs(
 
     if len(result) > 4:  # sharded-BF routing overflow counter
         ovf = int(np.asarray(result[4]).sum())
+        if ovf and reprobe is not None:
+            print(
+                f"[shark-tpu] routing overflow ({ovf} probes), retrying "
+                "batch with a larger cap",
+                file=sys.stderr,
+            )
+            result = reprobe(codes)
+            packed_np = None  # the grouped pre-fetch is stale for this batch
+            ovf = int(np.asarray(result[4]).sum())
         if ovf:
             raise RuntimeError(
                 f"sharded-BF probe bucket overflow ({ovf} probes dropped); "
@@ -414,6 +428,7 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
                         c_,
                         cfg.max_winners,
                         packed_np=packed_all[off : off + cfg.batch_size],
+                        reprobe=getattr(classifier, "reprobe", None),
                     )
                     ns.emit(s_, ri, gi)
                     off += cfg.batch_size
@@ -746,9 +761,15 @@ def _run_pipeline_inner(
         n_reads += batch.n
         if len(pending) > DEPTH:
             b, res = pending.pop(0)
-            _drain(cfg, index, b, res, writer, cfg.max_winners)
+            _drain(
+                cfg, index, b, res, writer, cfg.max_winners,
+                reprobe=getattr(classifier, "reprobe", None),
+            )
     for b, res in pending:
-        _drain(cfg, index, b, res, writer, cfg.max_winners)
+        _drain(
+            cfg, index, b, res, writer, cfg.max_winners,
+            reprobe=getattr(classifier, "reprobe", None),
+        )
     writer.close()
     if own_ssv is not None:
         own_ssv.close()

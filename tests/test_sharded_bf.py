@@ -98,6 +98,137 @@ def test_sharded_packed_matches_bytes(workload):
         np.testing.assert_array_equal(a, b)
 
 
+def test_probe_cap_adaptive(workload):
+    """Default cap = binomial mean + 8 sigma + 64, clamped to [8, b*L]."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
+
+    index, _ = workload
+    clf = ShardedBFClassifier(index, n_devices=8)
+    mean = 32 * 128 / 8
+    expect = int(np.ceil(mean + 8.0 * mean**0.5 + 64.0))
+    assert clf._probe_cap(32, 128) == expect
+    assert clf._probe_cap(1, 8) == 8  # floor
+    # explicit slack reproduces the old blanket sizing
+    clf_s = ShardedBFClassifier(index, n_devices=8, slack=2.0)
+    assert clf_s._probe_cap(32, 128) == int(np.ceil(2.0 * mean))
+    # growth doubles and saturates at all-probes-on-one-owner
+    clf.grow_cap()
+    assert clf._probe_cap(32, 128) == int(np.ceil(2 * (mean + 8.0 * mean**0.5 + 64.0)))
+    for _ in range(10):
+        clf.grow_cap()
+    assert clf._probe_cap(32, 128) == 32 * 128
+
+
+def test_reprobe_recovers_overflow(workload):
+    """Spill-and-retry: an undersized cap overflows, reprobe() grows it
+    until the batch fits, and the result is byte-identical to the
+    single-device classifier; the grown cap sticks for later batches."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
+
+    index, codes = workload
+    single = Classifier(index, max_winners=8, c=0.6)
+    sharded = ShardedBFClassifier(
+        index, max_winners=8, c=0.6, n_devices=8, slack=0.05
+    )
+    first = sharded(codes)
+    assert int(np.asarray(first[4]).sum()) > 0
+    got = sharded.reprobe(codes)
+    assert int(np.asarray(got[4]).sum()) == 0
+    ref = [np.asarray(x) for x in single(codes)]
+    for name, a, b in zip(("packed", "winners", "best_cov", "length"), ref, got):
+        np.testing.assert_array_equal(a, np.asarray(b), err_msg=name)
+    # subsequent plain calls reuse the grown cap: no overflow, no retry
+    again = sharded(codes)
+    assert int(np.asarray(again[4]).sum()) == 0
+
+
+def test_pipeline_retries_sharded_overflow(workload, tmp_path):
+    """End-to-end: run_pipeline drains a batch whose routing overflowed and
+    recovers through the reprobe hook instead of raising."""
+    import io as io_mod
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
+    from shark_tpu.pipeline import run_pipeline
+
+    index, codes = workload
+    # write a tiny FASTA/FASTQ sample matching the workload's index
+    rng = np.random.default_rng(3)
+    fasta = tmp_path / "genes.fa"
+    with open(fasta, "wb") as f:
+        for name, seq in _records_of():
+            f.write(b">" + name.encode() + b"\n" + seq + b"\n")
+    fastq = tmp_path / "reads.fq"
+    n_reads = 64
+    with open(fastq, "wb") as f:
+        for i in range(n_reads):
+            seq = _decode(codes[rng.integers(0, codes.shape[0])])
+            f.write(b"@r%03d\n" % i + seq + b"\n+\n" + b"I" * len(seq) + b"\n")
+    cfg = SharkConfig(
+        fasta_path=str(fasta),
+        sample1_path=str(fastq),
+        out1_path=str(tmp_path / "o1.fq"),
+        batch_size=64,
+        k=K,
+        use_native=False,
+    )
+    clf = ShardedBFClassifier(
+        index, max_winners=cfg.max_winners, c=cfg.c, n_devices=8, slack=0.05
+    )
+    ssv = io_mod.StringIO()
+    stats = run_pipeline(cfg, ssv_stream=ssv, classifier=clf)
+    assert stats["n_reads"] == n_reads
+    assert clf.cap_mult > 1.0  # the retry path actually fired
+    # equality against the plain single-device pipeline on the same index
+    cfg2 = SharkConfig(
+        fasta_path=str(fasta),
+        sample1_path=str(fastq),
+        out1_path=str(tmp_path / "s1.fq"),
+        batch_size=64,
+        k=K,
+        use_native=False,
+    )
+    ssv2 = io_mod.StringIO()
+    run_pipeline(
+        cfg2,
+        ssv_stream=ssv2,
+        classifier=Classifier(index, max_winners=cfg2.max_winners, c=cfg2.c),
+    )
+    assert ssv.getvalue() == ssv2.getvalue()
+    assert (tmp_path / "o1.fq").read_bytes() == (tmp_path / "s1.fq").read_bytes()
+
+
+def _records_of():
+    """The workload fixture's records aren't exposed; regenerate them with
+    the same seed/shapes as the module fixture."""
+    rng = np.random.default_rng(7)
+    out = []
+    for g in range(24):
+        seq = BASES[rng.integers(0, 4, size=300)].tobytes()
+        out.append((f"G{g}", seq))
+    return out
+
+
+def _decode(code_row):
+    """codes row -> ACGT bytes (invalid columns dropped from the tail)."""
+    sym = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    valid = code_row < 4
+    last = int(np.flatnonzero(valid).max()) + 1 if valid.any() else 0
+    return sym[code_row[:last]].tobytes()
+
+
 def test_sharded_overflow_detection(workload):
     """With absurdly small slack the overflow counter must fire (not crash)."""
     import jax
