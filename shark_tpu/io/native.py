@@ -92,7 +92,7 @@ def get_lib():
         ]
         lib.shk_build_error.restype = ctypes.c_char_p
         lib.shk_build_error.argtypes = [ctypes.c_void_p]
-        lib.shk_build_fetch.argtypes = [
+        lib.shk_build_fill.argtypes = [
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
@@ -274,14 +274,18 @@ def build_index_native(fasta_path: str, k: int, size_bits: int):
         if lib.shk_build_sizes(h, sizes) != 0:
             raise ValueError(lib.shk_build_error(h).decode())
         n_words, n_off, n_assoc, names_len = (int(x) for x in sizes)
-        bf_words = np.empty(n_words, dtype=np.uint32)
+        # np.zeros = calloc: pages stay untouched until C++ writes the set
+        # words — the fill-in-place ABI exists because this VM class faults
+        # fresh pages at ~0.2-1 GB/s and the old build-then-memcpy path
+        # paid the 2 GiB of dense arrays twice (~50s for a panel index)
+        bf_words = np.zeros(n_words, dtype=np.uint32)
         word_rank = np.empty(n_words, dtype=np.uint32)
         offsets = np.empty(max(n_off, 1), dtype=np.int32)
         offsets[0] = 0
         gene_ids = np.empty(max(n_assoc, 1), dtype=np.uint16)
         names_buf = ctypes.create_string_buffer(names_len)
         u32p = ctypes.POINTER(ctypes.c_uint32)
-        lib.shk_build_fetch(
+        lib.shk_build_fill(
             h,
             bf_words.ctypes.data_as(u32p),
             word_rank.ctypes.data_as(u32p),

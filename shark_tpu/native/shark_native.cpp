@@ -648,9 +648,15 @@ int shk_close(void* h) {
 // Same construction as shark_tpu/index/build.py (semantics per reference
 // bloomfilter.h:57-75, 111-188: per Bloom position, the ascending
 // duplicate-free list of genes touching it), in C++ for transcriptome-scale
-// inputs. Two-phase ABI: shk_build() parses and assembles into
-// internally-owned arrays and returns a handle + sizes; shk_build_fetch()
-// copies into caller-provided numpy buffers; shk_build_free() releases.
+// inputs. Two-phase ABI: shk_build() parses the FASTA and sorts the
+// (position, gene) pairs — no GiB-scale arrays; shk_build_fill() then
+// assembles the bit-vector / rank / CSR DIRECTLY into caller-provided
+// numpy buffers; shk_build_free() releases. The fill-in-place design
+// matters: this class of VM faults fresh anonymous pages at only
+// ~0.2-1 GB/s, so the old build-internally-then-memcpy ABI paid the
+// ~2 GiB of dense arrays TWICE (measured 50s for a 500-gene panel; the
+// direct fill is ~3-8s). bf_words must arrive zeroed (np.zeros = calloc:
+// untouched pages stay zero; only set words are written).
 // ---------------------------------------------------------------------------
 
 namespace {
@@ -678,11 +684,9 @@ inline uint64_t xxh64_8(uint64_t x) {
 
 struct BuildResult {
   uint64_t size_bits = 0;
-  std::vector<uint32_t> bf_words;
-  std::vector<uint32_t> word_rank;
-  std::vector<int32_t> offsets;
-  std::vector<uint16_t> gene_ids;
-  std::string names;  // '\n'-joined gene names in id order
+  std::vector<std::pair<uint64_t, uint32_t>> pairs;  // sorted (pos, gene)
+  uint64_t n_set = 0;  // distinct positions
+  std::string names;   // '\n'-joined gene names in id order
   std::string err;
 };
 
@@ -698,7 +702,6 @@ void* shk_build(const char* fasta_path, int k, uint64_t size_bits) {
     r->err = "cannot open fasta";
     return r;
   }
-  std::vector<std::pair<uint64_t, uint32_t>> pairs;  // (position, gene)
   std::vector<uint64_t> pos;
   std::string line, seq;
   long gene = -1;
@@ -710,7 +713,7 @@ void* shk_build(const char* fasta_path, int k, uint64_t size_bits) {
     });
     std::sort(pos.begin(), pos.end());
     pos.erase(std::unique(pos.begin(), pos.end()), pos.end());
-    for (uint64_t p : pos) pairs.emplace_back(p, (uint32_t)gene);
+    for (uint64_t p : pos) r->pairs.emplace_back(p, (uint32_t)gene);
     seq.clear();
   };
   while (lr.getline(line)) {
@@ -730,39 +733,23 @@ void* shk_build(const char* fasta_path, int k, uint64_t size_bits) {
     r->err = "too many genes (uint16 gene-id capacity is 65536)";
     return r;
   }
+  if (r->pairs.size() > 0x7FFFFFFFULL) {
+    r->err = "association overflow: more than 2^31 (position, gene) pairs";
+    return r;
+  }
 
   std::stable_sort(
-      pairs.begin(), pairs.end(),
+      r->pairs.begin(), r->pairs.end(),
       [](const auto& a, const auto& b) { return a.first < b.first; });
-  uint64_t n_words = size_bits / 32;
-  r->bf_words.assign(n_words, 0);
-  for (auto& pg : pairs) r->bf_words[pg.first >> 5] |= 1u << (pg.first & 31);
-  r->word_rank.assign(n_words, 0);
-  uint64_t acc = 0;
-  for (uint64_t w = 0; w < n_words; w++) {
-    r->word_rank[w] = (uint32_t)acc;
-    acc += __builtin_popcount(r->bf_words[w]);
+  uint64_t prev = ~0ULL;
+  for (auto& pg : r->pairs) {
+    r->n_set += pg.first != prev;
+    prev = pg.first;
   }
-  if (acc > 0xFFFFFFFFULL) {
+  if (r->n_set > 0xFFFFFFFFULL) {
     // uint32 rank capacity (matches the Python builder's guard,
     // index/build.py): a dense multi-GiB filter can exceed 2^32 set bits
     r->err = "rank overflow: more than 2^32 set bits";
-    return r;
-  }
-  r->offsets.reserve(acc + 1);
-  r->offsets.push_back(0);
-  r->gene_ids.reserve(pairs.size());
-  uint64_t prev = ~0ULL;
-  for (auto& pg : pairs) {
-    if (pg.first != prev && prev != ~0ULL)
-      r->offsets.push_back((int32_t)r->gene_ids.size());
-    r->gene_ids.push_back((uint16_t)pg.second);
-    prev = pg.first;
-  }
-  if (!pairs.empty()) r->offsets.push_back((int32_t)r->gene_ids.size());
-  if (r->gene_ids.size() > 0x7FFFFFFFULL) {
-    r->err = "association overflow: more than 2^31 (position, gene) pairs";
-    return r;
   }
   return r;
 }
@@ -771,22 +758,37 @@ void* shk_build(const char* fasta_path, int k, uint64_t size_bits) {
 int shk_build_sizes(void* h, int64_t* out4) {
   BuildResult* r = (BuildResult*)h;
   if (!r->err.empty()) return -1;
-  out4[0] = (int64_t)r->bf_words.size();
-  out4[1] = (int64_t)r->offsets.size();
-  out4[2] = (int64_t)r->gene_ids.size();
+  out4[0] = (int64_t)(r->size_bits / 32);
+  out4[1] = (int64_t)(r->n_set + 1);
+  out4[2] = (int64_t)r->pairs.size();
   out4[3] = (int64_t)r->names.size();
   return 0;
 }
 
 const char* shk_build_error(void* h) { return ((BuildResult*)h)->err.c_str(); }
 
-void shk_build_fetch(void* h, uint32_t* bf_words, uint32_t* word_rank,
-                     int32_t* offsets, uint16_t* gene_ids, char* names) {
+// Assemble the index directly into caller-owned buffers (sized per
+// shk_build_sizes). bf_words MUST arrive zeroed (np.zeros); word_rank,
+// offsets, gene_ids are fully overwritten.
+void shk_build_fill(void* h, uint32_t* bf_words, uint32_t* word_rank,
+                    int32_t* offsets, uint16_t* gene_ids, char* names) {
   BuildResult* r = (BuildResult*)h;
-  memcpy(bf_words, r->bf_words.data(), r->bf_words.size() * 4);
-  memcpy(word_rank, r->word_rank.data(), r->word_rank.size() * 4);
-  memcpy(offsets, r->offsets.data(), r->offsets.size() * 4);
-  memcpy(gene_ids, r->gene_ids.data(), r->gene_ids.size() * 2);
+  for (auto& pg : r->pairs) bf_words[pg.first >> 5] |= 1u << (pg.first & 31);
+  uint64_t n_words = r->size_bits / 32;
+  uint64_t acc = 0;
+  for (uint64_t w = 0; w < n_words; w++) {
+    word_rank[w] = (uint32_t)acc;
+    acc += __builtin_popcount(bf_words[w]);
+  }
+  offsets[0] = 0;
+  int64_t na = 0, no = 1;
+  uint64_t prev = ~0ULL;
+  for (auto& pg : r->pairs) {
+    if (pg.first != prev && prev != ~0ULL) offsets[no++] = (int32_t)na;
+    gene_ids[na++] = (uint16_t)pg.second;
+    prev = pg.first;
+  }
+  if (na) offsets[no] = (int32_t)na;
   memcpy(names, r->names.data(), r->names.size());
 }
 
