@@ -34,9 +34,11 @@ def log(m):
     print(f"[txome] {m}", file=sys.stderr, flush=True)
 
 
-def main():
-    n_genes = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
+    """Generate (cached), build, classify, oracle-spot-check; returns the
+    result dict. Callable in-process from bench.py so the driver artifact
+    carries the transcriptome-scale metric without paying a second axon
+    session spin-up."""
     os.makedirs(CACHE, exist_ok=True)
     fasta = os.path.join(CACHE, f"genes{n_genes}.fa")
     fastq = os.path.join(CACHE, f"reads{n_genes}_{n_reads}.fq")
@@ -150,23 +152,25 @@ def main():
                     checked += 1
     log(f"oracle spot-check: {checked} reads exact")
 
-    print(
-        json.dumps(
-            {
-                "metric": "txome_reads_per_sec",
-                "n_genes": index.n_genes,
-                "n_set": n_set,
-                "geometry_D": D,
-                "ext_w": ext_w,
-                "gene_mat_mb": round(gene_mat_mb, 1),
-                "probe_path": classifier.probe,
-                "value": round(stats["n_reads"] / stats["classify_s"], 1),
-                "unit": "reads/s",
-                "n_associations": stats["n_associations"],
-                "oracle_checked": checked,
-            }
-        )
-    )
+    return {
+        "metric": "txome_reads_per_sec",
+        "n_genes": index.n_genes,
+        "n_set": n_set,
+        "geometry_D": D,
+        "ext_w": ext_w,
+        "gene_mat_mb": round(gene_mat_mb, 1),
+        "probe_path": classifier.probe,
+        "value": round(stats["n_reads"] / stats["classify_s"], 1),
+        "unit": "reads/s",
+        "n_associations": stats["n_associations"],
+        "oracle_checked": checked,
+    }
+
+
+def main():
+    n_genes = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    print(json.dumps(run(n_genes, n_reads)))
 
 
 if __name__ == "__main__":

@@ -146,6 +146,52 @@ def test_native_index_build_matches_python(example_dir):
         )
 
 
+def test_native_index_build_matches_python_edge_cases(tmp_path):
+    """Multi-gene FASTA exercising the fill-in-place ABI's boundary logic:
+    a record shorter than k (still consumes a gene id, main.cpp:186), an
+    N-broken sequence, genes sharing k-mers (multi-gene CSR rows), and a
+    record with an empty sequence."""
+    import numpy as np
+
+    from shark_tpu.index.build import build_index
+    from shark_tpu.io.fastx import read_fasta
+    from shark_tpu.io.native import build_index_native
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    core = bases[rng.integers(0, 4, 64)].tobytes()
+    recs = [
+        ("short", b"ACGTACGT"),  # < k: no k-mers, id still assigned
+        ("g1", core + bases[rng.integers(0, 4, 100)].tobytes()),
+        ("empty", b""),
+        ("g2", bases[rng.integers(0, 4, 50)].tobytes() + core),  # shares core
+        ("nbreak", b"ACGTNNNN" + bases[rng.integers(0, 4, 40)].tobytes()),
+    ]
+    fa = tmp_path / "edge.fa"
+    fa.write_bytes(
+        b"".join(b">" + n.encode() + b"\n" + s + b"\n" for n, s in recs)
+    )
+    size_bits = 1 << 16
+    py = build_index(read_fasta(str(fa)), 17, size_bits)
+    nat = build_index_native(str(fa), 17, size_bits)
+    assert nat is not None
+    assert nat.gene_names == py.gene_names == [n for n, _ in recs]
+    for f in ("bf_words", "word_rank", "offsets", "gene_ids"):
+        np.testing.assert_array_equal(
+            getattr(nat, f), getattr(py, f), err_msg=f
+        )
+    assert py.max_degree >= 2  # the shared core produced multi-gene rows
+
+    # empty FASTA: zero genes, empty CSR, all-zero filter
+    empty = tmp_path / "none.fa"
+    empty.write_bytes(b"")
+    nat0 = build_index_native(str(empty), 17, size_bits)
+    assert nat0 is not None
+    assert nat0.gene_names == []
+    assert nat0.n_set_bits == 0
+    assert int(nat0.bf_words.sum()) == 0
+
+
 @pytest.mark.slow
 def test_native_pipeline_golden(example_dir, tmp_path):
     """Full pipeline through the native engine: byte-exact vs truth files."""
