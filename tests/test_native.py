@@ -192,6 +192,46 @@ def test_native_index_build_matches_python_edge_cases(tmp_path):
     assert int(nat0.bf_words.sum()) == 0
 
 
+def test_native_write_error_surfaces(example_dir, tmp_path):
+    """Disk-full (ENOSPC via /dev/full) must surface as an error, not a
+    'successful' truncated run (shk_emit returns -2 / shk_close nonzero;
+    reference ReadOutput.hpp ignores printf results — we must not)."""
+    import os
+
+    if not os.path.exists("/dev/full"):
+        pytest.skip("/dev/full not available")
+
+    # (a) a large emit overflows the stdio buffer mid-batch -> OSError
+    ns = native.NativeStream(
+        str(example_dir / "sample_1.fq"), "", 8192, 256, 0
+    )
+    ns.set_output(-1, "/dev/full", str(tmp_path / "o1.fq"), "")
+    ns.register_genes(["GENE"])
+    nb = ns.next_batch()
+    assert nb is not None
+    codes, slot, n = nb
+    ri = np.arange(n, dtype=np.int32)
+    gi = np.zeros(n, dtype=np.int32)
+    with pytest.raises(OSError):
+        ns.emit(slot, ri, gi)
+        ns.close()  # in case the buffer absorbed it: error surfaces at flush
+    try:  # join the parser threads; the latched error may re-raise
+        ns.close()
+    except OSError:
+        pass
+
+    # (b) a tiny emit stays in the buffer; close() must still report it
+    ns2 = native.NativeStream(
+        str(example_dir / "sample_1.fq"), "", 64, 256, 0
+    )
+    ns2.set_output(-1, "/dev/full", str(tmp_path / "o2.fq"), "")
+    ns2.register_genes(["GENE"])
+    codes, slot, n = ns2.next_batch()
+    ns2.emit(slot, np.zeros(1, dtype=np.int32), np.zeros(1, dtype=np.int32))
+    with pytest.raises(OSError):
+        ns2.close()
+
+
 @pytest.mark.slow
 def test_native_pipeline_golden(example_dir, tmp_path):
     """Full pipeline through the native engine: byte-exact vs truth files."""
