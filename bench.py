@@ -344,6 +344,8 @@ def main() -> None:
                 out["txome_reads_per_sec"] = res_t["value"]
                 out["txome_n_genes"] = res_t["n_genes"]
                 out["txome_oracle_checked"] = res_t["oracle_checked"]
+                if "vs_baseline" in res_t:
+                    out["txome_vs_baseline"] = res_t["vs_baseline"]
             except Exception as e:  # noqa: BLE001 - secondary metric only
                 log(f"WARNING: txome sub-bench failed, omitting its keys: {e}")
 

@@ -152,7 +152,7 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
                     checked += 1
     log(f"oracle spot-check: {checked} reads exact")
 
-    return {
+    out = {
         "metric": "txome_reads_per_sec",
         "n_genes": index.n_genes,
         "n_set": n_set,
@@ -165,6 +165,23 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
         "n_associations": stats["n_associations"],
         "oracle_checked": checked,
     }
+
+    # CPU comparator at the same transcriptome scale (the panel-scale
+    # vs_baseline says nothing about a 2 GiB-structure cache-miss regime).
+    # best_of=1: each invocation pays a full index rebuild (~1 min here).
+    try:
+        base = bench_mod.run_baseline(fasta, fastq, best_of=1)
+        if base["n_associations"] != stats["n_associations"]:
+            log(
+                "WARNING: txome association mismatch vs CPU baseline: "
+                f"tpu={stats['n_associations']} base={base['n_associations']}"
+            )
+        out["vs_baseline"] = round(
+            out["value"] / base["reads_per_sec"], 3
+        )
+    except Exception as e:  # noqa: BLE001 - comparator only
+        log(f"WARNING: txome baseline failed, omitting vs_baseline: {e}")
+    return out
 
 
 def main():
