@@ -133,13 +133,23 @@ def _winner_pairs(
     max_winners: int,
     packed_np: Optional[np.ndarray] = None,
     reprobe=None,
+    spec=None,
+    spec_state: Optional[dict] = None,
 ):
     """Device result -> (read_idx, gene_idx) association arrays, read-ascending,
     genes ascending within a read (the reference's emission order,
     ReadAnalyzer.hpp:104-108 + ReadOutput.hpp:43-48). `packed_np` supplies a
     pre-fetched packed-verdict array (grouped-fetch fast path); `reprobe`
     (sharded-BF spill-and-retry) re-runs the batch with a larger routing
-    cap when the overflow counter fires."""
+    cap when the overflow counter fires.
+
+    `spec` carries a SPECULATIVE (pairs_device_array, cap) pre-dispatched
+    by the main loop right after the classify kernel (its d2h copy
+    overlaps later batches' device work instead of round-tripping from the
+    drain thread); it is used when this batch's winner stream fits `cap`,
+    recomputed exactly otherwise. `spec_state` ({"cap": int}) is how this
+    function tells the main loop that the workload is tie-heavy and which
+    capacity to speculate with (0 = don't)."""
     from shark_tpu.classify.step import (
         PACK_EMIT_SHIFT,
         PACK_NW_BITS,
@@ -157,6 +167,7 @@ def _winner_pairs(
             )
             result = reprobe(codes)
             packed_np = None  # the grouped pre-fetch is stale for this batch
+            spec = None  # ... as is any speculative pair stream
             ovf = int(np.asarray(result[4]).sum())
         if ovf:
             raise RuntimeError(
@@ -186,17 +197,34 @@ def _winner_pairs(
         if not cfg.single and B <= 65536:
             # fetch one device-sorted (row<<16|gene) stream of ALL winner
             # pairs (4 bytes/association, already in reference emission
-            # order) instead of the whole [B, W] matrix; its capacity is
-            # computed exactly from the packed verdicts, so it never
-            # truncates
+            # order) instead of the whole [B, W] matrix. The capacity is
+            # QUANTIZED to two levels: `cap` is a static jit argument, and
+            # a remote compile costs ~10-15 s on tunneled TPU platforms
+            # (measured: a partial last batch whose exact-pow2 cap differed
+            # from the full batches' added 12 s to a 2 s sample) — so it
+            # must take few distinct values, not next_pow2(total). The
+            # sentinel check below still guards against truncation.
             from shark_tpu.classify.step import PAIR_SENTINEL, extract_pairs
 
             total = int(np.minimum(nw, max_winners).sum())
-            cap = 1 << int(np.ceil(np.log2(total + 2)))
-            if cap <= B * max_winners:
-                pairs = np.asarray(
-                    extract_pairs(packed_dev, winners_dev, cap)
-                )
+            BW = B * max_winners
+            cap = next(
+                (
+                    min(lv, BW)
+                    for lv in ((1 << 14), (1 << 19))
+                    if min(lv, BW) >= total + 2
+                ),
+                BW,
+            )
+            if spec_state is not None:
+                spec_state["cap"] = max(spec_state.get("cap", 0), cap)
+            if total + 2 <= BW:
+                if spec is not None and spec[1] >= total + 2:
+                    pairs = np.asarray(spec[0])
+                else:
+                    pairs = np.asarray(
+                        extract_pairs(packed_dev, winners_dev, cap)
+                    )
                 if pairs[-1] == PAIR_SENTINEL:
                     pairs = pairs[pairs != PAIR_SENTINEL]
                     prow = (pairs >> 16).astype(np.int64)
@@ -407,6 +435,12 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     # tie-heavy homolog bench) — d2h fetches there appear to hold the GIL,
     # so extra Python threads only add contention. Single drain thread.
     reads_done = [reads_done0]  # drained reads (checkpoint counter)
+    # Tie-heavy speculation: once a batch has taken the winner-pair-stream
+    # path, the drain records the capacity here and the MAIN loop starts
+    # dispatching extract_pairs right after each classify kernel (d2h copy
+    # overlaps later device work; the drain then just reads the result).
+    # Written by the drain thread, read by the main thread (GIL-safe).
+    spec_state = {"cap": 0}
 
     def drainer():
         while True:
@@ -419,7 +453,7 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
             try:
                 packed_all = np.asarray(cat)
                 off = 0
-                for c_, s_, n_, r_ in entries:
+                for c_, s_, n_, r_, spec_ in entries:
                     ri, gi = _winner_pairs(
                         cfg,
                         index,
@@ -429,6 +463,8 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
                         cfg.max_winners,
                         packed_np=packed_all[off : off + cfg.batch_size],
                         reprobe=getattr(classifier, "reprobe", None),
+                        spec=spec_,
+                        spec_state=spec_state,
                     )
                     ns.emit(s_, ri, gi)
                     off += cfg.batch_size
@@ -489,9 +525,20 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
             else:
                 host_codes, slot, n = nb
                 result = classifier(host_codes)
+            spec = None
+            spec_cap = spec_state["cap"]
+            if spec_cap and len(result) == 4 and not cfg.single:
+                from shark_tpu.classify.step import extract_pairs
+
+                sp = extract_pairs(result[0], result[1], spec_cap)
+                try:
+                    sp.copy_to_host_async()
+                except AttributeError:
+                    pass
+                spec = (sp, spec_cap)
             n_reads += n
             n_batches += 1
-            group.append((host_codes, slot, n, result))
+            group.append((host_codes, slot, n, result, spec))
             if len(group) == GROUP:
                 flush_group(group)
             if cfg.fail_after_batches and n_batches >= cfg.fail_after_batches:
