@@ -211,7 +211,7 @@ def _winner_pairs(
             cap = next(
                 (
                     min(lv, BW)
-                    for lv in ((1 << 14), (1 << 19))
+                    for lv in ((1 << 14), (1 << 17), (1 << 19))
                     if min(lv, BW) >= total + 2
                 ),
                 BW,
