@@ -297,6 +297,109 @@ def test_extra_pair_stream_and_fallback(homolog_workload):
     assert int((pairs != PAIR_SENTINEL).sum()) > 0
 
 
+def test_winner_pairs_speculative_stream(homolog_workload):
+    """A speculative pre-dispatched pair stream (pipeline speculation path)
+    must give identical associations to the exact-cap recompute, an
+    undersized speculation must be ignored, and spec_state must report a
+    capacity the main loop can speculate with."""
+    from shark_tpu.classify.step import extract_pairs
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import _winner_pairs
+
+    index, oracle, reads = homolog_workload
+    rng = np.random.default_rng(11)
+    batch = [reads[int(rng.integers(0, len(reads)))] for _ in range(32)]
+    L = 128
+    codes = np.full((len(batch), L), 4, dtype=np.uint8)
+    for i, r in enumerate(batch):
+        codes[i, : len(r)] = encode_bytes(r)
+    clf = Classifier(index, max_winners=8, c=0.6)
+    result = clf(codes)
+    cfg = SharkConfig(fasta_path="x", sample1_path="y")
+
+    spec_state = {"cap": 0}
+    ri0, gi0 = _winner_pairs(
+        cfg, index, result, len(batch), codes, 8, spec_state=spec_state
+    )
+    cap = spec_state["cap"]
+    assert cap > 0  # tie-heavy workload must engage the stream path
+
+    sp = extract_pairs(result[0], result[1], cap)
+    ri1, gi1 = _winner_pairs(
+        cfg, index, result, len(batch), codes, 8, spec=(sp, cap),
+        spec_state=spec_state,
+    )
+    np.testing.assert_array_equal(ri0, ri1)
+    np.testing.assert_array_equal(gi0, gi1)
+
+    # a lying cap (too small for this batch) must be ignored, not trusted
+    ri2, gi2 = _winner_pairs(
+        cfg, index, result, len(batch), codes, 8, spec=(sp, 1),
+        spec_state=spec_state,
+    )
+    np.testing.assert_array_equal(ri0, ri2)
+    np.testing.assert_array_equal(gi0, gi2)
+
+
+def test_native_tie_pipeline_speculation(homolog_workload, tmp_path):
+    """Tie-heavy sample through the NATIVE engine (_run_native drain +
+    speculative pair extraction across batches): outputs must equal the
+    Python-path pipeline byte for byte."""
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.io import native
+    from shark_tpu.pipeline import run_pipeline
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    index, oracle, reads = homolog_workload
+    fa = tmp_path / "genes.fa"
+    # rebuild the fixture records from the oracle's gene list is not
+    # possible; regenerate the same family workload deterministically
+    rng = np.random.default_rng(99)
+    records = []
+    with open(fa, "wb") as f:
+        for fam in range(10):
+            core = BASES[rng.integers(0, 4, size=150)]
+            for m in range(4):
+                left = BASES[rng.integers(0, 4, size=80)]
+                right = BASES[rng.integers(0, 4, size=80)]
+                seq = np.concatenate([left, core, right]).tobytes()
+                records.append((f"F{fam}M{m}", seq))
+                f.write(b">F%dM%d\n" % (fam, m) + seq + b"\n")
+    fq = tmp_path / "reads.fq"
+    with open(fq, "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(b"@r%04d\n" % i + r + b"\n+\n" + b"I" * len(r) + b"\n")
+
+    clf = Classifier(index, max_winners=16, c=0.6)
+
+    def run(native_on, tag):
+        cfg = SharkConfig(
+            fasta_path=str(fa),
+            sample1_path=str(fq),
+            out1_path=str(tmp_path / f"{tag}.fq"),
+            ssv_path=str(tmp_path / f"{tag}.ssv"),
+            k=K,
+            c=0.6,
+            batch_size=128,  # many batches -> speculation engages
+            max_read_len=128 if native_on else 0,
+            use_native=native_on,
+        )
+        stats = run_pipeline(cfg, classifier=clf)
+        assert stats.get("native", False) == native_on
+        return stats
+
+    s_nat = run(True, "nat")
+    s_py = run(False, "py")
+    assert s_nat["n_associations"] == s_py["n_associations"]
+    assert (tmp_path / "nat.ssv").read_bytes() == (
+        tmp_path / "py.ssv"
+    ).read_bytes()
+    assert (tmp_path / "nat.fq").read_bytes() == (
+        tmp_path / "py.fq"
+    ).read_bytes()
+
+
 def test_single_mode_suppresses_ties(homolog_workload):
     """--single must emit only unique-winner reads (ReadAnalyzer.hpp:105)."""
     import io
