@@ -254,36 +254,6 @@ PACK_OVF_SHIFT = 22            # device result incomplete; host must redo
 PAIR_SENTINEL = 0xFFFFFFFF
 
 
-@jax.jit
-def extract_extra_pairs(packed: jnp.ndarray, winners: jnp.ndarray):
-    """Compact the EXTRA winners (slots 1..nw-1) of emitted multi-winner
-    rows into a sorted (row << 16 | gene) uint32 stream, sentinel-padded to
-    B + 1 entries.
-
-    Multi-gene ties are common on real panels (homologs), and fetching the
-    whole [B, W] winner matrix for a batch with even one tie costs ~4 MB of
-    device->host transfer; the pair stream costs 4 bytes per extra
-    association. The slice keeps ONE extra slot so the host can detect
-    truncation (last entry != sentinel) and fall back to the full fetch.
-    Requires B <= 65536 (row packs into 16 bits); the caller checks.
-
-    Rows with a device-overflow flag or saturated winner count are excluded
-    — the host recomputes those exactly anyway (pipeline._winner_pairs)."""
-    B, W = winners.shape
-    nw = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
-    emit = ((packed >> PACK_EMIT_SHIFT) & 1) == 1
-    ovf = ((packed >> PACK_OVF_SHIFT) & 1) == 1
-    sat = (1 << PACK_NW_BITS) - 1
-    need = emit & (nw >= 2) & (nw <= W) & (nw < sat) & ~ovf
-    slot = jnp.arange(1, W, dtype=jnp.int32)[None, :]
-    valid = need[:, None] & (slot < nw[:, None])
-    row = jnp.arange(B, dtype=jnp.uint32)[:, None]
-    key = (row << 16) | winners[:, 1:].astype(jnp.uint32)
-    keys = jnp.where(valid, key, jnp.uint32(PAIR_SENTINEL)).reshape(-1)
-    out = jnp.sort(keys)
-    return out[: min(B + 1, out.shape[0])]
-
-
 @functools.partial(jax.jit, static_argnums=(2,))
 def extract_pairs(packed: jnp.ndarray, winners: jnp.ndarray, cap: int):
     """ALL winners (slots 0..nw-1) of emitted rows as one device-sorted
@@ -294,10 +264,17 @@ def extract_pairs(packed: jnp.ndarray, winners: jnp.ndarray, cap: int):
     host lexsort} with one fetch whose order IS the reference emission
     order (read-ascending, genes ascending within a read). The caller
     computes the exact pair count from the already-fetched packed verdicts
-    and passes cap = next power of two above it, so the stream never
-    truncates (the final sentinel-slot check still guards the invariant).
-    Rows with overflow/saturated winner counts are excluded — the caller
-    recomputes those on the host."""
+    and passes a QUANTIZED cap above it (pipeline._winner_pairs: levels
+    {2^14, 2^17, 2^19, B*W} — cap is a static jit argument and each new
+    value costs a remote compile), so the stream never truncates (the
+    caller's sentinel-slot check at index `total` still guards the
+    invariant). Rows with overflow/saturated winner counts are excluded —
+    the caller recomputes those on the host.
+
+    Note (row 65535, gene 65535) encodes to PAIR_SENTINEL itself; it
+    sorts into the sentinel tail and may even be truncated by `cap`, but
+    every sentinel-valued entry DECODES to exactly that pair, so the
+    caller's slice-by-count reconstruction is exact either way."""
     B, W = winners.shape
     nw = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
     emit = ((packed >> PACK_EMIT_SHIFT) & 1) == 1

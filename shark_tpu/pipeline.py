@@ -190,6 +190,15 @@ def _winner_pairs(
     sat = (1 << PACK_NW_BITS) - 1
     overflow = (nw > max_winners) | (nw == sat) | dev_ovf[rows]
     if not np.any(overflow) and not np.any(nw > 1):
+        if spec_state is not None and spec is not None:
+            # the speculated stream went unused; after a few consecutive
+            # wasted ones (a tie-heavy region followed by a tie-free one)
+            # tell the main loop to stop paying the dispatch + d2h copy —
+            # the next tie batch re-engages it via the exact path
+            spec_state["idle"] = spec_state.get("idle", 0) + 1
+            if spec_state["idle"] >= 4:
+                spec_state["cap"] = 0
+                spec_state["idle"] = 0
         return rows.astype(np.int32), winner0[rows].astype(np.int32)
     winners = None
     if not np.any(overflow):
@@ -198,7 +207,8 @@ def _winner_pairs(
             # fetch one device-sorted (row<<16|gene) stream of ALL winner
             # pairs (4 bytes/association, already in reference emission
             # order) instead of the whole [B, W] matrix. The capacity is
-            # QUANTIZED to two levels: `cap` is a static jit argument, and
+            # QUANTIZED to the levels {2^14, 2^17, 2^19, B*W}: `cap` is a
+            # static jit argument, and
             # a remote compile costs ~10-15 s on tunneled TPU platforms
             # (measured: a partial last batch whose exact-pow2 cap differed
             # from the full batches' added 12 s to a 2 s sample) — so it
@@ -218,6 +228,7 @@ def _winner_pairs(
             )
             if spec_state is not None:
                 spec_state["cap"] = max(spec_state.get("cap", 0), cap)
+                spec_state["idle"] = 0
             if total + 2 <= BW:
                 if spec is not None and spec[1] >= total + 2:
                     pairs = np.asarray(spec[0])
@@ -225,16 +236,24 @@ def _winner_pairs(
                     pairs = np.asarray(
                         extract_pairs(packed_dev, winners_dev, cap)
                     )
-                if pairs[-1] == PAIR_SENTINEL:
-                    pairs = pairs[pairs != PAIR_SENTINEL]
+                # Slice by the exactly-known pair count, NOT by filtering
+                # out sentinel-valued entries: the legitimate pair
+                # (row 65535, gene 65535) encodes to 0xFFFFFFFF ==
+                # PAIR_SENTINEL, and sentinels sort to the tail, so
+                # pairs[:total] keeps exactly the real keys (a colliding
+                # key is VALUE-equal to the padding it may swap with and
+                # still decodes correctly). pairs[total] being sentinel
+                # confirms the capacity math matched the device; a real
+                # key there means it didn't (should not happen) and we
+                # fall through to the full winner fetch.
+                if pairs[total] == PAIR_SENTINEL:
+                    pairs = pairs[:total]
                     prow = (pairs >> 16).astype(np.int64)
                     keep = prow < n  # drop padding rows (none expected)
                     return (
                         prow[keep].astype(np.int32),
                         (pairs[keep] & 0xFFFF).astype(np.int32),
                     )
-                # capacity math disagreed with the device (should not
-                # happen): fall through to the full winner fetch
         winners = np.asarray(winners_dev)
         W = winners.shape[1]
         counts = np.minimum(nw, W)

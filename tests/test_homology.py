@@ -262,7 +262,7 @@ def test_extra_pair_stream_and_fallback(homolog_workload):
     """The compacted extra-winner pair fetch (pipeline._winner_pairs fast
     path) and its truncation fallback must both reproduce the oracle's
     association list exactly."""
-    from shark_tpu.classify.step import PAIR_SENTINEL, extract_extra_pairs
+    from shark_tpu.classify.step import PAIR_SENTINEL, extract_pairs
     from shark_tpu.config import SharkConfig
     from shark_tpu.pipeline import _winner_pairs
 
@@ -280,9 +280,9 @@ def test_extra_pair_stream_and_fallback(homolog_workload):
     clf = Classifier(index, max_winners=8, c=0.6)
     result = clf(codes)
 
-    # the device pair stream is sentinel-padded to B+1 when it fits
-    pairs = np.asarray(extract_extra_pairs(result[0], result[1]))
-    assert pairs.shape[0] == len(core_reads) + 1
+    # the device pair stream is truncated to cap and sentinel-padded
+    pairs = np.asarray(extract_pairs(result[0], result[1], 128))
+    assert pairs.shape[0] == 128
 
     cfg = SharkConfig(fasta_path="x", sample1_path="y")
     ri, gi = _winner_pairs(cfg, index, result, len(core_reads), codes, 8)
@@ -339,6 +339,37 @@ def test_winner_pairs_speculative_stream(homolog_workload):
     )
     np.testing.assert_array_equal(ri0, ri2)
     np.testing.assert_array_equal(gi0, gi2)
+
+
+def test_pair_sentinel_collision_boundary():
+    """The legitimate association (row 65535, gene 65535) encodes to
+    0xFFFFFFFF == PAIR_SENTINEL in the winner-pair stream. At the
+    reference's full capacity (65536 genes, bloomfilter.h:45) and a full
+    65536-read batch it must still be emitted — the host reconstructs the
+    stream by exact count, not by sentinel filtering."""
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import _winner_pairs
+
+    K2 = 15
+    # 65536 genes: all but the last two are shorter than k (no k-mers, but
+    # they consume gene ids, main.cpp:186); genes 65534 and 65535 are
+    # identical so the read ties across both and takes the stream path
+    rng = np.random.default_rng(3)
+    seq = BASES[rng.integers(0, 4, size=64)].tobytes()
+    records = [(f"g{i}", b"A") for i in range(65534)]
+    records += [("g65534", seq), ("g65535", seq)]
+    index = build_index(records, K2, 1 << 18)
+
+    B, L = 65536, 64
+    codes = np.full((B, L), 4, dtype=np.uint8)
+    codes[65535, :] = encode_bytes(seq)
+    clf = Classifier(index, max_winners=8, c=0.6)
+    result = clf(codes)
+
+    cfg = SharkConfig(fasta_path="x", sample1_path="y")
+    ri, gi = _winner_pairs(cfg, index, result, B, codes, 8)
+    assert ri.tolist() == [65535, 65535]
+    assert gi.tolist() == [65534, 65535]
 
 
 def test_native_tie_pipeline_speculation(homolog_workload, tmp_path):
