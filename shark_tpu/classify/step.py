@@ -729,7 +729,10 @@ def finish_from_keys(
 
     # compact winner genes (already in ascending-gene order along the
     # sorted key axis) to width W by sorting — a scatter here costs ~50ms
-    # per 64k batch on TPU, a second small sort is ~free
+    # per 64k batch on TPU, a second small sort is ~free. (A batch-level
+    # cond skipping this sort on tie-free batches measured a WASH in an
+    # in-session A/B — 0.99x single-end, 1.00x homolog, verdict-identical
+    # — so the unconditional sort stays; bench/ab_winner_cond.py.)
     wkey = jnp.where(winner, gene.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
     swin = jnp.sort(wkey, axis=1)[:, :W]
     winners = jnp.where(
