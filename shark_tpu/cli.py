@@ -7,7 +7,8 @@ bits; -q minimum base quality; -s single-association mode; -t threads; -v
 verbose. Associations go to stdout as "read_id gene_id" lines.
 
 TPU-specific extras: --batch-size, --max-read-len, --backend, --devices,
---save-index/--load-index.
+--sharded-bf, --save-index/--load-index, --ssv, --resume, --stats-json,
+--profile-dir, and the multi-host launch flags.
 """
 
 from __future__ import annotations
@@ -78,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint per batch to <ssv>.progress and resume "
                         "an interrupted run from the last checkpoint "
                         "(requires --ssv, --max-read-len, plain outputs)")
+    p.add_argument("--stats-json", default="",
+                   help="write machine-readable run statistics (reads, "
+                        "associations, phase seconds, reads/s) to this "
+                        "path as one JSON object")
     # multi-host launch (one process per host; see parallel/distributed.py)
     p.add_argument("--coordinator", default="",
                    help="jax.distributed coordinator address host:port")
@@ -155,7 +160,18 @@ def main(argv=None) -> int:
             cfg.ssv_path = host_suffixed(cfg.ssv_path, args.host_id)
     from shark_tpu.pipeline import run_pipeline
 
-    run_pipeline(cfg)
+    stats = run_pipeline(cfg)
+    if args.stats_json:
+        import json
+
+        stats = dict(stats)
+        if stats.get("classify_s"):
+            stats["reads_per_sec"] = round(
+                stats["n_reads"] / stats["classify_s"], 1
+            )
+        with open(args.stats_json, "w") as f:
+            json.dump(stats, f)
+            f.write("\n")
     return 0
 
 

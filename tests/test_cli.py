@@ -92,6 +92,40 @@ def test_multihost_flag_validation(capsys):
     assert "coordinator" in capsys.readouterr().err
 
 
+def test_stats_json_flag(tmp_path, capsys):
+    """--stats-json writes one machine-readable JSON object with the run's
+    counters (no reference analogue; observability extra)."""
+    import json
+
+    from shark_tpu.cli import main
+
+    fa = tmp_path / "g.fa"
+    core = b"ACGTTGCAAGGCTTAGCCGATTCAGGCATTCGA" * 3
+    fa.write_bytes(b">g0\n" + core + b"\n")
+    fq = tmp_path / "s.fq"
+    fq.write_bytes(
+        b"@r0\n" + core[:60] + b"\n+\n" + b"I" * 60 + b"\n"
+        b"@r1\n" + b"T" * 60 + b"\n+\n" + b"I" * 60 + b"\n"
+    )
+    stats_path = tmp_path / "stats.json"
+    rc = main([
+        "-r", str(fa), "-1", str(fq),
+        "-o", str(tmp_path / "o.fq"),
+        "--ssv", str(tmp_path / "o.ssv"),
+        "--stats-json", str(stats_path),
+        "--backend", "cpu", "--batch-size", "64",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    st = json.loads(stats_path.read_text())
+    assert st["n_reads"] == 2
+    assert st["n_associations"] == 1  # only r0 maps to g0
+    assert st["n_genes"] == 1
+    assert st["reads_per_sec"] > 0
+    ssv = (tmp_path / "o.ssv").read_text()
+    assert ssv == "r0 g0\n"
+
+
 def test_missing_input_file_fails_fast(tmp_path):
     from shark_tpu.pipeline import run_pipeline
 
