@@ -49,9 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--single", action="store_true",
                    help="report an association only if a single gene is found")
     p.add_argument("-t", "--threads", type=int, default=1,
-                   help="accepted for reference CLI compatibility; host "
-                        "parse/drain threads are automatic here and device "
-                        "parallelism is --devices (default:1)")
+                   help="host worker threads (reference flag): N-1 extra "
+                        "native encode threads; device parallelism is "
+                        "--devices (default:1)")
     p.add_argument("-v", "--verbose", action="store_true", help="verbose mode")
     # TPU-execution extras (no reference analogue)
     p.add_argument("--batch-size", type=int, default=8192,

@@ -54,6 +54,7 @@ def get_lib():
         lib.shk_open.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
         ]
         lib.shk_next.restype = ctypes.c_int
         lib.shk_next.argtypes = [
@@ -131,6 +132,7 @@ class NativeStream:
         max_len: int,
         min_quality: int,
         packed: bool = False,
+        encode_threads: int = 1,
     ):
         lib = get_lib()
         if lib is None:
@@ -143,6 +145,7 @@ class NativeStream:
             max_len,
             min_quality,
             1 if packed else 0,
+            encode_threads,
         )
         if not self._h:
             raise OSError(f"cannot open {fq1} / {fq2} (max_len % 8 != 0?)")

@@ -174,10 +174,12 @@ struct Batch {
   std::vector<uint8_t> vmask;  // [batch_size, max_len/8] validity bits
   int n = 0;
   // slot lifecycle: the parser thread takes FREE slots in order and marks
-  // them PARSED; the encoder thread encodes/masks/packs PARSED slots into
-  // FILLED; the consumer hands FILLED slots to the device pipeline;
-  // shk_emit/shk_release frees them
-  enum State { FREE, PARSED, FILLED } state = FREE;
+  // them PARSED; an encoder thread claims a PARSED slot (ENCODING) and
+  // encodes/masks/packs it into FILLED — with several encoder threads
+  // slots may FILL out of order, but the consumer takes FILLED slots in
+  // ring order so the stream stays deterministic; shk_emit/shk_release
+  // frees them
+  enum State { FREE, PARSED, ENCODING, FILLED } state = FREE;
 };
 
 // Must cover: the pipeline's current fetch group (<=4) + queued groups
@@ -254,7 +256,8 @@ struct Stream {
   bool stop = false;
   std::mutex mu;
   std::condition_variable cv_free, cv_parsed, cv_filled;
-  std::thread producer, encoder;
+  std::thread producer;
+  std::vector<std::thread> encoders;
 
   FILE* ssv = nullptr;
   std::string ssv_buf;
@@ -350,8 +353,10 @@ int parse_batch(Stream* s, Batch& b) {
 }
 
 // Encode + quality-mask + 2-bit-pack one parsed batch. Returns b.n; sets
-// err (and b.n = -1) on overflow.
-int encode_batch_rows(Stream* s, Batch& b) {
+// `err` (and b.n = -1) on overflow. `err` is a caller-local string so
+// concurrent encoder threads never race on Stream::err — the caller
+// publishes it under the stream mutex.
+int encode_batch_rows(Stream* s, Batch& b, std::string& err) {
   if (b.n <= 0) return b.n;
   size_t row_bytes = (size_t)s->max_len;
   b.codes.assign((size_t)s->batch_size * row_bytes, 4);
@@ -368,7 +373,7 @@ int encode_batch_rows(Stream* s, Batch& b) {
                s->max_len);
   }
   if (overflow) {
-    s->err = "read longer than max_len";
+    err = "read longer than max_len";
     b.n = -1;
     return -1;
   }
@@ -418,15 +423,22 @@ void encoder_loop(Stream* s) {
         return s->stop || s->ring[s->encode_id % kRing].state == Batch::PARSED;
       });
       if (s->stop) return;
-      id = s->encode_id;
+      // claim-and-advance under the lock so concurrent encoder threads
+      // each take a distinct slot; encoding then runs unlocked
+      id = s->encode_id++;
+      s->ring[id % kRing].state = Batch::ENCODING;
+      s->cv_parsed.notify_all();  // wake peers for the next PARSED slot
     }
     Batch& b = s->ring[id % kRing];
-    int n = encode_batch_rows(s, b);
+    std::string err;
+    int n = encode_batch_rows(s, b, err);
     {
       std::unique_lock<std::mutex> lk(s->mu);
+      if (!err.empty() && s->err.empty()) s->err = err;
       b.state = Batch::FILLED;
-      s->encode_id++;
       s->cv_filled.notify_all();
+      // the EOF/error batch ends this thread; peers sleep on cv_parsed
+      // until shk_close sets stop
       if (n <= 0) return;
     }
   }
@@ -437,7 +449,7 @@ void encoder_loop(Stream* s) {
 extern "C" {
 
 void* shk_open(const char* fq1, const char* fq2, int batch_size, int max_len,
-               int min_quality, int pack_mode) {
+               int min_quality, int pack_mode, int encode_threads) {
   if (pack_mode && max_len % 8 != 0) return nullptr;  // planes need %8
   Stream* s = new Stream;
   s->batch_size = batch_size;
@@ -461,7 +473,8 @@ void* shk_open(const char* fq1, const char* fq2, int batch_size, int max_len,
     s->paired = true;
   }
   s->producer = std::thread(producer_loop, s);
-  s->encoder = std::thread(encoder_loop, s);
+  int ne = encode_threads > 0 ? encode_threads : 1;
+  for (int i = 0; i < ne; i++) s->encoders.emplace_back(encoder_loop, s);
   return s;
 }
 
@@ -626,7 +639,8 @@ int shk_close(void* h) {
     s->cv_parsed.notify_all();
   }
   if (s->producer.joinable()) s->producer.join();
-  if (s->encoder.joinable()) s->encoder.join();
+  for (auto& t : s->encoders)
+    if (t.joinable()) t.join();
   int rc = 0;
   if (s->ssv) {
     if (ferror(s->ssv)) rc = -1;

@@ -411,6 +411,10 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
         cfg.max_read_len,
         cfg.min_quality,
         packed=use_packed,
+        # -t N provisions extra host encode threads (the reference's
+        # worker-thread flag mapped to the one host stage that scales;
+        # parse itself is sequential, ~2.2M reads/s — bench/parser_bench)
+        encode_threads=max(1, min(cfg.threads - 1, 8)),
     )
     ns.set_output(
         1, cfg.ssv_path, cfg.out1_path, cfg.out2_path,

@@ -192,6 +192,39 @@ def test_native_index_build_matches_python_edge_cases(tmp_path):
     assert int(nat0.bf_words.sum()) == 0
 
 
+def test_native_multi_encoder_threads_deterministic(example_dir):
+    """Several encoder threads may FILL ring slots out of order; the
+    consumer must still see identical batches in identical order."""
+    def collect(encode_threads):
+        ns = native.NativeStream(
+            str(example_dir / "sample_1.fq"),
+            str(example_dir / "sample_2.fq"),
+            256,
+            256,
+            10,
+            packed=True,
+            encode_threads=encode_threads,
+        )
+        out = []
+        while True:
+            nb = ns.next_batch()
+            if nb is None:
+                break
+            packed, vmask, slot, n = nb
+            out.append((packed.copy(), vmask.copy(), n))
+            ns.release(slot)
+        ns.close()
+        return out
+
+    a = collect(1)
+    b = collect(3)
+    assert len(a) == len(b)
+    for (pa, va, na), (pb, vb, nb_) in zip(a, b):
+        assert na == nb_
+        np.testing.assert_array_equal(pa, pb)
+        np.testing.assert_array_equal(va, vb)
+
+
 def test_native_write_error_surfaces(example_dir, tmp_path):
     """Disk-full (ENOSPC via /dev/full) must surface as an error, not a
     'successful' truncated run (shk_emit returns -2 / shk_close nonzero;
