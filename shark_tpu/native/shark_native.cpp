@@ -50,6 +50,43 @@ class LineReader {
   }
   bool ok() const { return gz_ != nullptr; }
 
+  // Fast path for the dominant FASTQ shape: a complete 4-line record
+  // (@name / seq / +... / qual, no CRLF, len(qual) == len(seq)) fully
+  // inside the buffer is assigned in ONE pass with no per-line string
+  // churn. Returns false (with pos_ untouched) whenever the window
+  // doesn't match — the caller's general kseq-style path then handles
+  // multi-line records, CRLF, FASTA headers, and buffer refills.
+  bool fast_fastq(Record& r) {
+    if (len_ - pos_ < (1 << 14) && gz_ && !src_eof_) refill_();
+    if (pos_ >= len_ || buf_[pos_] != '@') return false;
+    char* end = buf_ + len_;
+    char* l0 = buf_ + pos_;
+    char* n0 = (char*)memchr(l0, '\n', end - l0);
+    if (!n0) return false;
+    char* l1 = n0 + 1;
+    char* n1 = (char*)memchr(l1, '\n', end - l1);
+    if (!n1) return false;
+    char* l2 = n1 + 1;
+    if (l2 >= end || *l2 != '+') return false;
+    char* n2 = (char*)memchr(l2, '\n', end - l2);
+    if (!n2) return false;
+    char* l3 = n2 + 1;
+    char* n3 = (char*)memchr(l3, '\n', end - l3);
+    if (!n3) return false;
+    size_t slen = (size_t)(n1 - l1), qlen = (size_t)(n3 - l3);
+    if (slen == 0 || slen != qlen) return false;
+    if (n0[-1] == '\r' || n1[-1] == '\r' || n2[-1] == '\r' ||
+        n3[-1] == '\r')
+      return false;
+    char* sp = l0 + 1;
+    while (sp < n0 && *sp != ' ' && *sp != '\t') sp++;
+    r.name.assign(l0 + 1, (size_t)(sp - (l0 + 1)));
+    r.seq.assign(l1, slen);
+    r.qual.assign(l3, qlen);
+    pos_ = (int)(n3 + 1 - buf_);
+    return true;
+  }
+
   // Returns false at EOF. Strips trailing \n / \r\n.
   bool getline(std::string& out) {
     out.clear();
@@ -75,9 +112,23 @@ class LineReader {
   }
 
  private:
+  // Compact the unread tail to the buffer start and top up from the
+  // file, so fast_fastq keeps whole records in view near buffer edges.
+  void refill_() {
+    if (pos_ > 0 && len_ > pos_) memmove(buf_, buf_ + pos_, len_ - pos_);
+    len_ -= pos_;
+    pos_ = 0;
+    int got = gzread(gz_, buf_ + len_, (unsigned)(sizeof(buf_) - len_));
+    if (got > 0)
+      len_ += got;
+    else
+      src_eof_ = true;
+  }
+
   gzFile gz_ = nullptr;
   char buf_[1 << 20];
   int pos_ = 0, len_ = 0;
+  bool src_eof_ = false;
 };
 
 // kseq-style record reader over LineReader: FASTA ('>') and FASTQ ('@')
@@ -91,6 +142,7 @@ class FastxReader {
   // 1 = record parsed, 0 = EOF, -1 = malformed input (never silently
   // truncates: a bad record is an error, matching the Python parser).
   int next(Record& r) {
+    if (!have_header_ && lr_.fast_fastq(r)) return 1;
     std::string line;
     if (!have_header_) {
       do {
