@@ -115,6 +115,14 @@ def test_two_process_jax_distributed_cli(example_dir, tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 
+    # the package is run from the source tree, not installed: the child
+    # processes need the repo root on their import path
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+
     procs = []
     for h in range(2):
         out_ssv = tmp_path / "out.ssv"
@@ -135,6 +143,7 @@ def test_two_process_jax_distributed_cli(example_dir, tmp_path):
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
                 cwd=str(tmp_path),
+                env=env,
             )
         )
     for p in procs:
