@@ -85,7 +85,7 @@ def get_lib():
         ]
         lib.shk_build.restype = ctypes.c_void_p
         lib.shk_build.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
         ]
         lib.shk_build_sizes.restype = ctypes.c_int
         lib.shk_build_sizes.argtypes = [
@@ -263,7 +263,9 @@ class NativeStream:
             pass
 
 
-def build_index_native(fasta_path: str, k: int, size_bits: int):
+def build_index_native(
+    fasta_path: str, k: int, size_bits: int, threads: int = None
+):
     """Build a SharkIndex via the C++ engine. Returns None if unavailable;
     raises on build errors (bad file, gene-capacity overflow)."""
     lib = get_lib()
@@ -271,7 +273,9 @@ def build_index_native(fasta_path: str, k: int, size_bits: int):
         return None
     from shark_tpu.index.structure import SharkIndex
 
-    h = lib.shk_build(fasta_path.encode(), k, size_bits)
+    if threads is None:
+        threads = min(4, os.cpu_count() or 1)
+    h = lib.shk_build(fasta_path.encode(), k, size_bits, max(1, threads))
     try:
         sizes = (ctypes.c_int64 * 4)()
         if lib.shk_build_sizes(h, sizes) != 0:

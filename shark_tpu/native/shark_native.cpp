@@ -24,6 +24,8 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -750,68 +752,213 @@ inline uint64_t xxh64_8(uint64_t x) {
 
 struct BuildResult {
   uint64_t size_bits = 0;
-  std::vector<std::pair<uint64_t, uint32_t>> pairs;  // sorted (pos, gene)
+  // sorted packed keys: (bloom position << 16) | gene id. pos < 2^33 at
+  // the CLI's -b <= 2^15 cap and gene < 2^16, so one uint64 carries both
+  // — half the bytes of a (u64, u32) pair, radix-partitionable, and the
+  // natural integer order IS the required (pos asc, gene asc) order.
+  std::vector<uint64_t> keys;
   uint64_t n_set = 0;  // distinct positions
   std::string names;   // '\n'-joined gene names in id order
   std::string err;
+  int threads = 1;  // parallelism carried into shk_build_fill
 };
+
+// Build-phase wall-clock trace to stderr when SHARK_BUILD_TRACE is set.
+struct PhaseTrace {
+  bool on = getenv("SHARK_BUILD_TRACE") != nullptr;
+  std::chrono::steady_clock::time_point t0 = std::chrono::steady_clock::now();
+  void mark(const char* tag) {
+    if (!on) return;
+    auto t1 = std::chrono::steady_clock::now();
+    fprintf(stderr, "[shk_build] %-12s %6.2f s\n", tag,
+            std::chrono::duration<double>(t1 - t0).count());
+    t0 = t1;
+  }
+};
+
+// Parallel-for over [0, n) in T contiguous chunks (T=1 runs inline).
+template <typename F>
+void parallel_chunks(uint64_t n, int t, F&& f) {
+  if (t <= 1 || n < 2) {
+    f(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  uint64_t chunk = (n + t - 1) / t;
+  for (int i = 0; i < t; i++) {
+    uint64_t lo = (uint64_t)i * chunk;
+    uint64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back([&f, lo, hi] { f(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
 
 }  // namespace
 
 extern "C" {
 
-void* shk_build(const char* fasta_path, int k, uint64_t size_bits) {
+// Build phase. Deterministic for ANY thread count: per-gene position
+// lists are dedup'd independently (the reference's within-gene dedup,
+// bloomfilter.h:68-73), and the global order is a full (pos, gene) sort —
+// gene ids ascend within each position exactly as the reference's
+// sequential inserts produce (bloomfilter.h:61-75).
+void* shk_build(const char* fasta_path, int k, uint64_t size_bits,
+                int threads) {
   BuildResult* r = new BuildResult;
+  PhaseTrace tr;
   r->size_bits = size_bits;
+  r->threads = threads > 0 ? threads : 1;
   LineReader lr(fasta_path);
   if (!lr.ok()) {
     r->err = "cannot open fasta";
     return r;
   }
-  std::vector<uint64_t> pos;
-  std::string line, seq;
+  // read all records up front (sequence bytes only; a human transcriptome
+  // is a few hundred MB), then scan/hash/dedup genes in parallel
+  std::vector<std::string> seqs;
+  std::string line;
   long gene = -1;
-  auto flush = [&]() {
-    if (gene < 0) return;
-    pos.clear();
-    scan_canonical(seq, k, [&](uint64_t canon, size_t) {
-      pos.push_back(xxh64_8(canon) % size_bits);
-    });
-    std::sort(pos.begin(), pos.end());
-    pos.erase(std::unique(pos.begin(), pos.end()), pos.end());
-    for (uint64_t p : pos) r->pairs.emplace_back(p, (uint32_t)gene);
-    seq.clear();
-  };
   while (lr.getline(line)) {
     if (!line.empty() && (line[0] == '>' || line[0] == '@')) {
-      flush();
       gene++;
+      seqs.emplace_back();
       size_t sp = line.find_first_of(" \t", 1);
       r->names.append(line, 1,
                       (sp == std::string::npos ? line.size() : sp) - 1);
       r->names.push_back('\n');
     } else if (gene >= 0) {
-      seq += line;
+      seqs[gene] += line;
     }
   }
-  flush();
   if (gene + 1 > 65536) {
     r->err = "too many genes (uint16 gene-id capacity is 65536)";
     return r;
   }
-  if (r->pairs.size() > 0x7FFFFFFFULL) {
+  tr.mark("read");
+  if (size_bits > (1ULL << 47)) {
+    r->err = "bloom size exceeds packed-key capacity (2^47 bits)";
+    return r;
+  }
+  int t = r->threads;
+  // per-thread key vectors, each kept radix-partitionable: out[b] holds
+  // keys whose top byte (key >> 41) == b
+  constexpr int kBuckets = 256;
+  std::vector<std::vector<uint64_t>> parts(std::max(t, 1));
+  {
+    std::atomic<int> next_part{0};
+    parallel_chunks(seqs.size(), t, [&](uint64_t lo, uint64_t hi) {
+      auto& out = parts[next_part.fetch_add(1)];
+      std::vector<uint64_t> pos;
+      for (uint64_t g = lo; g < hi; g++) {
+        pos.clear();
+        scan_canonical(seqs[g], k, [&](uint64_t canon, size_t) {
+          pos.push_back(xxh64_8(canon) % size_bits);
+        });
+        std::sort(pos.begin(), pos.end());
+        pos.erase(std::unique(pos.begin(), pos.end()), pos.end());
+        for (uint64_t p : pos) out.push_back((p << 16) | (uint64_t)g);
+      }
+    });
+  }
+  tr.mark("scan+hash");
+  uint64_t total = 0;
+  for (auto& p : parts) total += p.size();
+  if (total > 0x7FFFFFFFULL) {
     r->err = "association overflow: more than 2^31 (position, gene) pairs";
     return r;
   }
-
-  std::stable_sort(
-      r->pairs.begin(), r->pairs.end(),
-      [](const auto& a, const auto& b) { return a.first < b.first; });
-  uint64_t prev = ~0ULL;
-  for (auto& pg : r->pairs) {
-    r->n_set += pg.first != prev;
-    prev = pg.first;
+  // MSB radix partition into 256 position ranges, then sort each bucket
+  // independently (buckets are disjoint in position, so concatenation is
+  // globally sorted) — no serial merge pass, no inplace_merge buffers.
+  // The radix byte sits above the 16 gene bits + low position bits; with
+  // size_bits <= 2^41 several top bits are zero, which only means some
+  // buckets stay empty (the partition is still balanced via lower bits
+  // when size_bits >= 2^25... for small filters one bucket gets all keys
+  // and a single std::sort handles it, which is fine at that scale).
+  int key_bits = 17;  // 16 gene bits + at least 1 position bit
+  while ((1ULL << (key_bits - 16)) < size_bits) key_bits++;
+  const int shift = std::max(16, key_bits - 8);
+  r->keys.resize(total);
+  {
+    // histogram per part, then exclusive global offsets [part][bucket]
+    int np = (int)parts.size();
+    std::vector<std::vector<uint64_t>> hist(
+        np, std::vector<uint64_t>(kBuckets, 0));
+    parallel_chunks(np, t, [&](uint64_t lo, uint64_t hi) {
+      for (uint64_t i = lo; i < hi; i++)
+        for (uint64_t key : parts[i]) hist[i][(int)(key >> shift)]++;
+    });
+    std::vector<uint64_t> bucket_off(kBuckets + 1, 0);
+    for (int b = 0; b < kBuckets; b++) {
+      uint64_t s = 0;
+      for (int i = 0; i < np; i++) s += hist[i][b];
+      bucket_off[b + 1] = bucket_off[b] + s;
+    }
+    // scatter: each part writes its keys at its own cursor per bucket
+    std::vector<std::vector<uint64_t>> cursor(
+        np, std::vector<uint64_t>(kBuckets, 0));
+    for (int b = 0; b < kBuckets; b++) {
+      uint64_t at = bucket_off[b];
+      for (int i = 0; i < np; i++) {
+        cursor[i][b] = at;
+        at += hist[i][b];
+      }
+    }
+    parallel_chunks(np, t, [&](uint64_t lo, uint64_t hi) {
+      for (uint64_t i = lo; i < hi; i++) {
+        for (uint64_t key : parts[i])
+          r->keys[cursor[i][(int)(key >> shift)]++] = key;
+        parts[i].clear();
+        parts[i].shrink_to_fit();
+      }
+    });
+    tr.mark("partition");
+    // sort buckets, fattest first so threads stay busy
+    std::vector<int> order(kBuckets);
+    for (int b = 0; b < kBuckets; b++) order[b] = b;
+    std::sort(order.begin(), order.end(), [&](int a, int b2) {
+      return bucket_off[a + 1] - bucket_off[a] >
+             bucket_off[b2 + 1] - bucket_off[b2];
+    });
+    std::atomic<int> next{0};
+    int nw = std::max(1, t);
+    std::vector<std::thread> pool;
+    for (int w = 0; w < nw; w++)
+      pool.emplace_back([&] {
+        while (true) {
+          int i = next.fetch_add(1);
+          if (i >= kBuckets) return;
+          int b = order[i];
+          std::sort(r->keys.begin() + bucket_off[b],
+                    r->keys.begin() + bucket_off[b + 1]);
+        }
+      });
+    for (auto& th : pool) th.join();
   }
+  tr.mark("sort");
+  // distinct-position count (parallel: chunk counts + boundary fix-up)
+  {
+    size_t n = r->keys.size();
+    int nt = std::max(1, t);
+    std::vector<uint64_t> cnt(nt, 0);
+    std::vector<size_t> bounds(nt + 1);
+    for (int i = 0; i <= nt; i++) bounds[i] = n * (uint64_t)i / nt;
+    parallel_chunks(nt, nt, [&](uint64_t lo, uint64_t hi) {
+      for (uint64_t i = lo; i < hi; i++) {
+        uint64_t c = 0;
+        uint64_t prev =
+            i == 0 || bounds[i] == 0 ? ~0ULL : r->keys[bounds[i] - 1] >> 16;
+        for (size_t j = bounds[i]; j < bounds[i + 1]; j++) {
+          c += (r->keys[j] >> 16) != prev;
+          prev = r->keys[j] >> 16;
+        }
+        cnt[i] = c;
+      }
+    });
+    for (int i = 0; i < nt; i++) r->n_set += cnt[i];
+  }
+  tr.mark("count");
   if (r->n_set > 0xFFFFFFFFULL) {
     // uint32 rank capacity (matches the Python builder's guard,
     // index/build.py): a dense multi-GiB filter can exceed 2^32 set bits
@@ -826,7 +973,7 @@ int shk_build_sizes(void* h, int64_t* out4) {
   if (!r->err.empty()) return -1;
   out4[0] = (int64_t)(r->size_bits / 32);
   out4[1] = (int64_t)(r->n_set + 1);
-  out4[2] = (int64_t)r->pairs.size();
+  out4[2] = (int64_t)r->keys.size();
   out4[3] = (int64_t)r->names.size();
   return 0;
 }
@@ -839,22 +986,71 @@ const char* shk_build_error(void* h) { return ((BuildResult*)h)->err.c_str(); }
 void shk_build_fill(void* h, uint32_t* bf_words, uint32_t* word_rank,
                     int32_t* offsets, uint16_t* gene_ids, char* names) {
   BuildResult* r = (BuildResult*)h;
-  for (auto& pg : r->pairs) bf_words[pg.first >> 5] |= 1u << (pg.first & 31);
-  uint64_t n_words = r->size_bits / 32;
-  uint64_t acc = 0;
-  for (uint64_t w = 0; w < n_words; w++) {
-    word_rank[w] = (uint32_t)acc;
-    acc += __builtin_popcount(bf_words[w]);
+  PhaseTrace tr;
+  int t = r->threads;
+  size_t n = r->keys.size();
+  // bit-set: keys are position-sorted, so chunks split at WORD
+  // boundaries touch disjoint bf_words ranges (no atomics needed)
+  {
+    int nt = std::max(1, t);
+    std::vector<size_t> cut(nt + 1, n);
+    cut[0] = 0;
+    for (int i = 1; i < nt; i++) {
+      size_t target = n * (uint64_t)i / nt;
+      // advance past keys sharing the boundary key's WORD
+      uint64_t w = target < n ? (r->keys[target] >> 21) : ~0ULL;
+      while (target < n && (r->keys[target] >> 21) == w) target++;
+      cut[i] = std::max(cut[i - 1], target);
+    }
+    parallel_chunks(nt, nt, [&](uint64_t lo, uint64_t hi) {
+      for (uint64_t i = lo; i < hi; i++)
+        for (size_t j = cut[i]; j < cut[i + 1]; j++) {
+          uint64_t p = r->keys[j] >> 16;
+          bf_words[p >> 5] |= 1u << (p & 31);
+        }
+    });
   }
+  tr.mark("bitset");
+  // exclusive prefix popcount: per-block sums, serial block prefix,
+  // parallel fill (the serial pass over 2^28 words was ~1s of the build)
+  uint64_t n_words = r->size_bits / 32;
+  {
+    int nt = std::max(1, t);
+    std::vector<uint64_t> bsum(nt, 0);
+    std::vector<uint64_t> wb(nt + 1);
+    for (int i = 0; i <= nt; i++) wb[i] = n_words * (uint64_t)i / nt;
+    parallel_chunks(nt, nt, [&](uint64_t lo, uint64_t hi) {
+      for (uint64_t i = lo; i < hi; i++) {
+        uint64_t s = 0;
+        for (uint64_t w = wb[i]; w < wb[i + 1]; w++)
+          s += __builtin_popcount(bf_words[w]);
+        bsum[i] = s;
+      }
+    });
+    std::vector<uint64_t> base(nt + 1, 0);
+    for (int i = 0; i < nt; i++) base[i + 1] = base[i] + bsum[i];
+    parallel_chunks(nt, nt, [&](uint64_t lo, uint64_t hi) {
+      for (uint64_t i = lo; i < hi; i++) {
+        uint64_t acc = base[i];
+        for (uint64_t w = wb[i]; w < wb[i + 1]; w++) {
+          word_rank[w] = (uint32_t)acc;
+          acc += __builtin_popcount(bf_words[w]);
+        }
+      }
+    });
+  }
+  tr.mark("rank");
   offsets[0] = 0;
   int64_t na = 0, no = 1;
   uint64_t prev = ~0ULL;
-  for (auto& pg : r->pairs) {
-    if (pg.first != prev && prev != ~0ULL) offsets[no++] = (int32_t)na;
-    gene_ids[na++] = (uint16_t)pg.second;
-    prev = pg.first;
+  for (uint64_t key : r->keys) {
+    uint64_t p = key >> 16;
+    if (p != prev && prev != ~0ULL) offsets[no++] = (int32_t)na;
+    gene_ids[na++] = (uint16_t)(key & 0xFFFF);
+    prev = p;
   }
   if (na) offsets[no] = (int32_t)na;
+  tr.mark("csr");
   memcpy(names, r->names.data(), r->names.size());
 }
 

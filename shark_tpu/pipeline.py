@@ -10,6 +10,7 @@ the host encodes batch i+1 and drains batch i-1's verdicts.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Iterator, List, Optional, Tuple
 
@@ -628,7 +629,12 @@ def load_or_build_index(cfg: SharkConfig, timer: PhaseTimer) -> SharkIndex:
     if cfg.use_native:
         from shark_tpu.io.native import build_index_native
 
-        index = build_index_native(cfg.fasta_path, cfg.k, cfg.bf_bits)
+        # -t raises build parallelism beyond the default min(4, cores)
+        # (the reference's phase 1 is -t-parallel too, main.cpp:136-140)
+        index = build_index_native(
+            cfg.fasta_path, cfg.k, cfg.bf_bits,
+            threads=max(cfg.threads, min(4, os.cpu_count() or 1)),
+        )
     if index is None:
         index = build_index(read_fasta(cfg.fasta_path), cfg.k, cfg.bf_bits)
     timer.mark(f"BF created from transcripts ({index.n_genes} genes)")
