@@ -84,7 +84,9 @@ def main():
         pk_np = np.asarray(r[0])[:n]
         t["fetch_packed"] += time.time() - t0
         t0 = time.time()
-        ri, gi = _winner_pairs(cfg, index, r, n, None, 16, packed_np=pk_np)
+        ri, gi = _winner_pairs(
+            cfg, index, r, n, (pk, vm), 16, packed_np=pk_np
+        )
         t["winner_pairs"] += time.time() - t0
         t0 = time.time()
         ns.emit(slot, ri, gi)

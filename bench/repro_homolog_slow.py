@@ -50,7 +50,9 @@ def serial_profile(tag, cfg, index, clf):
         pk_np = np.asarray(r[0])[:n]
         t_fetch = time.time() - t0
         t0 = time.time()
-        ri, gi = _winner_pairs(cfg, index, r, n, None, 16, packed_np=pk_np)
+        ri, gi = _winner_pairs(
+            cfg, index, r, n, (pk, vm), 16, packed_np=pk_np
+        )
         t_wp = time.time() - t0
         t0 = time.time()
         ns.emit(slot, ri, gi)
@@ -89,7 +91,9 @@ def main():
     ns0 = NativeStream(cfg.sample1_path, "", B, L, 0, packed=True)
     pk0, vm0, slot, n = ns0.next_batch()
     r = clf.call_packed(pk0, vm0)
-    _winner_pairs(cfg, index, r, n, None, 16, packed_np=np.asarray(r[0])[:n])
+    _winner_pairs(
+        cfg, index, r, n, (pk0, vm0), 16, packed_np=np.asarray(r[0])[:n]
+    )
     ns0.release(slot)
     ns0.close()
 

@@ -164,12 +164,19 @@ def main(argv=None) -> int:
     if args.stats_json:
         import json
 
+        path = args.stats_json
+        if args.num_hosts > 1:
+            # per-host stats, like the data outputs
+            path = host_suffixed(path, args.host_id)
         stats = dict(stats)
         if stats.get("classify_s"):
+            # classify_s covers only this invocation; a resumed run's
+            # n_reads includes the prior invocations' prefix
+            done_now = stats["n_reads"] - stats.get("resumed_reads", 0)
             stats["reads_per_sec"] = round(
-                stats["n_reads"] / stats["classify_s"], 1
+                done_now / stats["classify_s"], 1
             )
-        with open(args.stats_json, "w") as f:
+        with open(path, "w") as f:
             json.dump(stats, f)
             f.write("\n")
     return 0

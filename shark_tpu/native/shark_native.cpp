@@ -398,7 +398,10 @@ int parse_batch(Stream* s, Batch& b) {
     n++;
   }
   if (rc1 < 0 || rc2 < 0) {
-    s->err = "malformed FASTA/FASTQ record";
+    // first error wins; all Stream::err writers take the mutex (encoder
+    // threads, this producer thread, and the emit-side consumer)
+    std::unique_lock<std::mutex> lk(s->mu);
+    if (s->err.empty()) s->err = "malformed FASTA/FASTQ record";
     b.n = -1;
     return -1;
   }
@@ -664,14 +667,14 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
       prev = r;
     }
   }
-  if (!line.empty() &&
-      fwrite(line.data(), 1, line.size(), s->ssv) != line.size())
-    s->err = "output write error";
+  bool werr = !line.empty() &&
+              fwrite(line.data(), 1, line.size(), s->ssv) != line.size();
   shk_release(h, slot);
   // Surface write failures (disk full, I/O error) instead of reporting a
   // truncated run as success: -2 distinguishes them from bad indices (-1).
-  if (ferror(s->ssv) || s->out1.werr || s->out2.werr) {
-    s->err = "output write error";
+  if (werr || ferror(s->ssv) || s->out1.werr || s->out2.werr) {
+    std::unique_lock<std::mutex> lk(s->mu);
+    if (s->err.empty()) s->err = "output write error";
     return -2;
   }
   return 0;

@@ -227,10 +227,10 @@ def _winner_pairs(
                 ),
                 BW,
             )
-            if spec_state is not None:
-                spec_state["cap"] = max(spec_state.get("cap", 0), cap)
-                spec_state["idle"] = 0
             if total + 2 <= BW:
+                if spec_state is not None:
+                    spec_state["cap"] = max(spec_state.get("cap", 0), cap)
+                    spec_state["idle"] = 0
                 if spec is not None and spec[1] >= total + 2:
                     pairs = np.asarray(spec[0])
                 else:
@@ -255,6 +255,15 @@ def _winner_pairs(
                         prow[keep].astype(np.int32),
                         (pairs[keep] & 0xFFFF).astype(np.int32),
                     )
+        if spec_state is not None and spec is not None:
+            # speculation unusable for this batch shape (stream over
+            # capacity, or the sentinel check fell through): same decay
+            # as the tie-free case so a permanently-unusable workload
+            # stops paying the discarded dispatch + d2h
+            spec_state["idle"] = spec_state.get("idle", 0) + 1
+            if spec_state["idle"] >= 4:
+                spec_state["cap"] = 0
+                spec_state["idle"] = 0
         winners = np.asarray(winners_dev)
         W = winners.shape[1]
         counts = np.minimum(nw, W)
@@ -629,11 +638,11 @@ def load_or_build_index(cfg: SharkConfig, timer: PhaseTimer) -> SharkIndex:
     if cfg.use_native:
         from shark_tpu.io.native import build_index_native
 
-        # -t raises build parallelism beyond the default min(4, cores)
-        # (the reference's phase 1 is -t-parallel too, main.cpp:136-140)
+        # -t sets build parallelism exactly, like the reference's phase 1
+        # (main.cpp:136-140): -t 1 (the default) builds serially so the
+        # host stays quiet; -t 4 engages the parallel scan/sort/fill
         index = build_index_native(
-            cfg.fasta_path, cfg.k, cfg.bf_bits,
-            threads=max(cfg.threads, min(4, os.cpu_count() or 1)),
+            cfg.fasta_path, cfg.k, cfg.bf_bits, threads=max(1, cfg.threads)
         )
     if index is None:
         index = build_index(read_fasta(cfg.fasta_path), cfg.k, cfg.bf_bits)
