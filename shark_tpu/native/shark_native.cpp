@@ -1043,16 +1043,47 @@ void shk_build_fill(void* h, uint32_t* bf_words, uint32_t* word_rank,
     });
   }
   tr.mark("rank");
-  offsets[0] = 0;
-  int64_t na = 0, no = 1;
-  uint64_t prev = ~0ULL;
-  for (uint64_t key : r->keys) {
-    uint64_t p = key >> 16;
-    if (p != prev && prev != ~0ULL) offsets[no++] = (int32_t)na;
-    gene_ids[na++] = (uint16_t)(key & 0xFFFF);
-    prev = p;
+  // CSR: gene_ids[j] is a pure map of keys[j]; offsets[d] = first key
+  // index of the d-th distinct position. Distinct ranks come from
+  // per-chunk counts + an exclusive prefix, so both fills parallelize.
+  {
+    int nt = std::max(1, t);
+    std::vector<size_t> bounds(nt + 1);
+    for (int i = 0; i <= nt; i++) bounds[i] = n * (uint64_t)i / nt;
+    std::vector<uint64_t> dcnt(nt, 0);
+    parallel_chunks(nt, nt, [&](uint64_t lo, uint64_t hi) {
+      for (uint64_t i = lo; i < hi; i++) {
+        uint64_t c = 0;
+        uint64_t prev = i == 0 || bounds[i] == 0
+                            ? ~0ULL
+                            : r->keys[bounds[i] - 1] >> 16;
+        for (size_t j = bounds[i]; j < bounds[i + 1]; j++) {
+          c += (r->keys[j] >> 16) != prev;
+          prev = r->keys[j] >> 16;
+        }
+        dcnt[i] = c;
+      }
+    });
+    std::vector<uint64_t> dbase(nt + 1, 0);
+    for (int i = 0; i < nt; i++) dbase[i + 1] = dbase[i] + dcnt[i];
+    offsets[0] = 0;
+    parallel_chunks(nt, nt, [&](uint64_t lo, uint64_t hi) {
+      for (uint64_t i = lo; i < hi; i++) {
+        uint64_t d = dbase[i];
+        uint64_t prev = i == 0 || bounds[i] == 0
+                            ? ~0ULL
+                            : r->keys[bounds[i] - 1] >> 16;
+        for (size_t j = bounds[i]; j < bounds[i + 1]; j++) {
+          uint64_t key = r->keys[j];
+          uint64_t p = key >> 16;
+          if (p != prev) offsets[d++] = (int32_t)j;
+          gene_ids[j] = (uint16_t)(key & 0xFFFF);
+          prev = p;
+        }
+      }
+    });
+    if (n) offsets[dbase[nt]] = (int32_t)n;
   }
-  if (na) offsets[no] = (int32_t)na;
   tr.mark("csr");
   memcpy(names, r->names.data(), r->names.size());
 }
