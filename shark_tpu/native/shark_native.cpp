@@ -89,6 +89,14 @@ class LineReader {
     return true;
   }
 
+  // A truncated or corrupt gzip stream must surface as an ERROR, not a
+  // clean EOF (the Python parser raises for the same input; silently
+  // classifying a prefix would report a truncated run as success).
+  // zlib detail: the final gzread of a truncated member returns 0 — not
+  // -1 — with gzerror errnum Z_BUF_ERROR ("unexpected end of file"), so
+  // every <=0 return must be interrogated, not just negatives.
+  bool bad() const { return bad_; }
+
   // Returns false at EOF. Strips trailing \n / \r\n.
   bool getline(std::string& out) {
     out.clear();
@@ -97,7 +105,8 @@ class LineReader {
         len_ = gzread(gz_, buf_, sizeof(buf_));
         pos_ = 0;
         if (len_ <= 0) {
-          len_ = 0;  // latch errors (-1) as EOF; never leave len_ negative
+          if (len_ < 0 || stream_err_()) bad_ = true;
+          len_ = 0;  // never leave len_ negative
           return !out.empty();
         }
       }
@@ -121,16 +130,25 @@ class LineReader {
     len_ -= pos_;
     pos_ = 0;
     int got = gzread(gz_, buf_ + len_, (unsigned)(sizeof(buf_) - len_));
-    if (got > 0)
+    if (got > 0) {
       len_ += got;
-    else
+    } else {
+      if (got < 0 || stream_err_()) bad_ = true;
       src_eof_ = true;
+    }
+  }
+
+  bool stream_err_() {
+    int e = Z_OK;
+    gzerror(gz_, &e);
+    return e != Z_OK && e != Z_STREAM_END;
   }
 
   gzFile gz_ = nullptr;
   char buf_[1 << 20];
   int pos_ = 0, len_ = 0;
   bool src_eof_ = false;
+  bool bad_ = false;
 };
 
 // kseq-style record reader over LineReader: FASTA ('>') and FASTQ ('@')
@@ -141,14 +159,15 @@ class FastxReader {
   explicit FastxReader(const char* path) : lr_(path) {}
   bool ok() const { return lr_.ok(); }
 
-  // 1 = record parsed, 0 = EOF, -1 = malformed input (never silently
-  // truncates: a bad record is an error, matching the Python parser).
+  // 1 = record parsed, 0 = EOF, -1 = malformed/corrupt input (never
+  // silently truncates: a bad record OR a truncated/corrupt gzip stream
+  // is an error, matching the Python parser).
   int next(Record& r) {
     if (!have_header_ && lr_.fast_fastq(r)) return 1;
     std::string line;
     if (!have_header_) {
       do {
-        if (!lr_.getline(line)) return 0;
+        if (!lr_.getline(line)) return lr_.bad() ? -1 : 0;
       } while (line.empty());
       if (line[0] != '@' && line[0] != '>') return -1;
       header_ = line;
@@ -168,7 +187,9 @@ class FastxReader {
         }
         r.seq += line;
       }
-      return 1;
+      // EOF mid-sequence is the normal last record — unless the stream
+      // itself died (truncated gzip): more sequence may have followed
+      return lr_.bad() ? -1 : 1;
     }
     // FASTQ: sequence lines until '+', quality until length matches
     while (lr_.getline(line)) {
@@ -180,6 +201,12 @@ class FastxReader {
       r.seq += line;
     }
     return -1;  // header without a '+' line: malformed
+  }
+
+  // Non-null iff the underlying stream failed (vs a malformed record).
+  const char* stream_error() const {
+    return lr_.bad() ? "truncated or corrupt input stream (gzip error)"
+                     : nullptr;
   }
 
  private:
@@ -398,10 +425,12 @@ int parse_batch(Stream* s, Batch& b) {
     n++;
   }
   if (rc1 < 0 || rc2 < 0) {
+    const char* se = rc1 < 0 ? s->f1->stream_error()
+                             : s->f2->stream_error();
     // first error wins; all Stream::err writers take the mutex (encoder
     // threads, this producer thread, and the emit-side consumer)
     std::unique_lock<std::mutex> lk(s->mu);
-    if (s->err.empty()) s->err = "malformed FASTA/FASTQ record";
+    if (s->err.empty()) s->err = se ? se : "malformed FASTA/FASTQ record";
     b.n = -1;
     return -1;
   }
@@ -833,6 +862,12 @@ void* shk_build(const char* fasta_path, int k, uint64_t size_bits,
     } else if (gene >= 0) {
       seqs[gene] += line;
     }
+  }
+  if (lr.bad()) {
+    // an index silently built from a truncated reference would classify
+    // against a partial gene set and still report success
+    r->err = "truncated or corrupt input stream (gzip error)";
+    return r;
   }
   if (gene + 1 > 65536) {
     r->err = "too many genes (uint16 gene-id capacity is 65536)";

@@ -66,8 +66,11 @@ def test_native_parser_matches_python(tmp_path, multiline, crlf, gz):
 
 
 def test_native_parser_truncated_gzip(tmp_path):
-    """Corrupt gzip must terminate cleanly (no crash / OOB read): either a
-    clean stop at a record boundary or a malformed-record error."""
+    """A truncated gzip MUST surface as an error, never as a clean EOF —
+    even when the decodable prefix happens to end at a record boundary
+    (zlib reports the final gzread as 0, not -1, with errnum Z_BUF_ERROR;
+    a silent stop would report a truncated run as success). The Python
+    parser raises for the same input (gzip.EOFError)."""
     rng = np.random.default_rng(3)
     data, _ = _mk_fastq(rng, 200)
     blob = gzip.compress(data)
@@ -75,14 +78,31 @@ def test_native_parser_truncated_gzip(tmp_path):
     path.write_bytes(blob[: len(blob) // 2])
     ns = native.NativeStream(str(path), "", 64, 256, 0)
     total = 0
-    try:
+    with pytest.raises(ValueError, match="truncated or corrupt|malformed"):
         while (nb := ns.next_batch()) is not None:
             total += nb[2]
             ns.release(nb[1])
-    except ValueError as e:
-        assert "malformed" in str(e)
     ns.close()
     assert total <= 200  # parsed some prefix, no crash
+
+    # the Python path raises for the same input (parity of failure modes)
+    with pytest.raises((EOFError, OSError, ValueError)):
+        list(read_fastq(str(path)))
+
+
+def test_native_build_truncated_gzip(tmp_path):
+    """An index must never be silently built from a truncated gzip FASTA
+    (it would classify against a partial gene set and report success)."""
+    rng = np.random.default_rng(4)
+    genes = []
+    for i in range(50):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=400).tobytes()
+        genes.append(b">gene%d\n" % i + seq + b"\n")
+    blob = gzip.compress(b"".join(genes))
+    path = tmp_path / "ref.fa.gz"
+    path.write_bytes(blob[: len(blob) // 2])
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        native.build_index_native(str(path), 17, 1 << 14)
 
 
 def _mk_fastx(rng, n_reads, crlf=False, fasta_frac=0.5):
