@@ -10,7 +10,7 @@ run. The baseline is bench/baseline.cpp, an independent C++ implementation
 of the reference's algorithm with a faster index layout, run with all host
 cores (best of 3); the TPU side is the full shark_tpu pipeline (host FASTQ
 parse + encode + device classify + threshold + ssv write) timed end-to-end
-over its classify phase, best of 2 passes against one warm classifier
+over its classify phase, best of 3 passes against one warm classifier
 (cross-session tunnel variance is the dominant noise source — see
 docs/PERF.md).
 

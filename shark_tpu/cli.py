@@ -57,7 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=8192,
                    help="reads per device batch (default: 8192)")
     p.add_argument("--max-read-len", type=int, default=0,
-                   help="fixed padded (fused) read length; 0 = auto per batch")
+                   help="fixed padded (fused) read length; 0 = auto (a "
+                        "parse-only pre-scan picks the native engine's "
+                        "geometry; set explicitly to skip the scan)")
     p.add_argument("--backend", default="",
                    help="jax platform override (e.g. cpu, tpu)")
     p.add_argument("--devices", type=int, default=1,

@@ -32,7 +32,9 @@ class SharkConfig:
 
     # TPU-execution knobs (no reference analogue).
     batch_size: int = 8192  # reads per device batch
-    max_read_len: int = 0  # 0 = auto-detect from the first batch
+    # 0 = auto: the native path pre-scans the sample (parse-only pass) for
+    # the exact max fused length; the Python path pads per batch.
+    max_read_len: int = 0
     max_winners: int = 16  # per-read winner-compaction width on device
     backend: str = ""  # "" = default jax backend; "cpu" forces host
     devices: int = 1  # data-parallel device count (1 = single device)

@@ -100,6 +100,8 @@ def get_lib():
             ctypes.c_char_p,
         ]
         lib.shk_build_free.argtypes = [ctypes.c_void_p]
+        lib.shk_scan_max_fused.restype = ctypes.c_long
+        lib.shk_scan_max_fused.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
         lib.shk_n_associations.restype = ctypes.c_long
         lib.shk_n_associations.argtypes = [ctypes.c_void_p]
         lib.shk_n_reads_out.restype = ctypes.c_long
@@ -314,6 +316,21 @@ def build_index_native(
         )
     finally:
         lib.shk_build_free(h)
+
+
+def scan_max_fused(fq1: str, fq2: str = "") -> int:
+    """Longest FUSED read length in the sample (parse-only native pass;
+    pairing stops at either EOF, like the classify run). Returns 0 for an
+    empty sample; raises if the input cannot be opened or is malformed."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    n = lib.shk_scan_max_fused(fq1.encode(), (fq2 or "").encode())
+    if n == -1:
+        raise OSError(f"cannot open {fq1} / {fq2}")
+    if n < 0:
+        raise ValueError(f"malformed or corrupt sample input: {fq1} / {fq2}")
+    return int(n)
 
 
 def available() -> bool:

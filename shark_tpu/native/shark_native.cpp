@@ -30,6 +30,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -611,6 +612,40 @@ void shk_release(void* h, int slot) {
   std::unique_lock<std::mutex> lk(s->mu);
   s->ring[slot].state = Batch::FREE;
   s->cv_free.notify_all();
+}
+
+// Parse-only pre-pass: longest FUSED read length (len1, or len1+1+len2
+// paired — FastqSplitter.hpp:63's 'N' junction) over the whole sample,
+// honoring the reference's stop-at-either-EOF pairing. Lets the driver
+// pick the native engine's static batch geometry without a user flag
+// (the reference streams arbitrary lengths; the TPU path needs static
+// shapes). Runs at parse speed — no encode, no batching. Returns the max
+// length (0 = empty sample), -1 = cannot open, -2 = malformed/corrupt.
+long shk_scan_max_fused(const char* fq1, const char* fq2) {
+  FastxReader f1(fq1);
+  if (!f1.ok()) return -1;
+  bool paired = fq2 && fq2[0];
+  std::unique_ptr<FastxReader> f2;
+  if (paired) {
+    f2.reset(new FastxReader(fq2));
+    if (!f2->ok()) return -1;
+  }
+  Record r1, r2;
+  long best = 0;
+  while (true) {
+    int rc1 = f1.next(r1);
+    if (rc1 < 0) return -2;
+    if (rc1 == 0) break;
+    long fused = (long)r1.seq.size();
+    if (paired) {
+      int rc2 = f2->next(r2);
+      if (rc2 < 0) return -2;
+      if (rc2 == 0) break;  // reference stops when either file ends
+      fused += 1 + (long)r2.seq.size();
+    }
+    if (fused > best) best = fused;
+  }
+  return best;
 }
 
 int shk_set_output(void* h, int ssv_fd, const char* ssv_path,

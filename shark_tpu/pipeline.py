@@ -27,6 +27,11 @@ from shark_tpu.utils.timers import PhaseTimer
 
 FastqRecord = Tuple[str, bytes, bytes]
 
+# Auto-length ceiling for the fixed-geometry native path: a sample whose
+# longest fused read exceeds this uses the Python per-batch-padded path
+# instead (short-read RNA-Seq — this tool's domain — sits far below it).
+AUTO_NATIVE_MAX_LEN = 2048
+
 
 def _round_len(n: int, k: int) -> int:
     """Bucket padded lengths to bound recompiles while keeping probe
@@ -321,8 +326,8 @@ def _progress_identity(cfg: SharkConfig) -> dict:
 
 def _load_progress(path: str, cfg: SharkConfig):
     """Validate + apply a resume checkpoint: truncate outputs to the
-    recorded offsets and return the number of reads already classified.
-    Returns 0 (fresh start) when no checkpoint exists."""
+    recorded offsets and return the checkpoint state dict.
+    Returns None (fresh start) when no checkpoint exists."""
     import json
     import os
 
@@ -703,6 +708,23 @@ def _join_index_save(index: SharkIndex, timer: PhaseTimer) -> None:
     timer.mark("Index saved")
 
 
+def _regular_files(*paths: str) -> bool:
+    """True iff every non-empty path is a regular file (the auto-length
+    pre-pass reads the sample twice, which a FIFO/stream cannot replay)."""
+    import os
+    import stat
+
+    for p in paths:
+        if not p:
+            continue
+        try:
+            if not stat.S_ISREG(os.stat(p).st_mode):
+                return False
+        except OSError:
+            return False
+    return True
+
+
 def _smoke_check_inputs(cfg: SharkConfig) -> None:
     """Open/close every input up front so missing files fail before any
     expensive work (the reference's pre-flight block, main.cpp:86-106)."""
@@ -790,14 +812,56 @@ def _run_pipeline_inner(
     else:
         classifier = Classifier(index, max_winners=cfg.max_winners, c=cfg.c)
 
-    if cfg.use_native and cfg.max_read_len and ssv_stream is None:
+    if cfg.use_native and ssv_stream is None:
         from shark_tpu.io import native as native_mod
 
-        if native_mod.available():
-            stats = _run_native(cfg, index, classifier, timer)
+        native_len = cfg.max_read_len
+        if (
+            not native_len
+            and not cfg.resume
+            and native_mod.available()
+            and _regular_files(cfg.sample1_path, cfg.sample2_path)
+        ):
+            # No --max-read-len given: pick the native engine's static
+            # geometry from an exact parse-only pre-pass over the sample
+            # (the reference streams arbitrary lengths; the device kernel
+            # needs static shapes). The scan is exact, so no mid-run
+            # "read longer than max_len" restart can ever fire — which
+            # matters because ssv may stream to stdout, where a restart
+            # could not truncate already-emitted associations. Scan
+            # failures (malformed input) fall through to the Python path,
+            # which reports them with full record context.
+            try:
+                mf = native_mod.scan_max_fused(
+                    cfg.sample1_path, cfg.sample2_path
+                )
+            except (OSError, ValueError):
+                mf = 0
+            if mf > AUTO_NATIVE_MAX_LEN:
+                # one long read would pad EVERY fixed-geometry batch to its
+                # length; the Python path pads per batch instead
+                mf = 0
+            if mf > 0:
+                native_len = _round_len(mf, cfg.k)
+                if cfg.verbose:
+                    print(
+                        f"[shark-tpu] auto max_read_len {native_len} "
+                        f"(longest fused read: {mf})",
+                        file=sys.stderr,
+                    )
+                timer.mark("Sample length scan")
+        if native_len and native_mod.available():
+            ncfg = cfg
+            if native_len != cfg.max_read_len:
+                from dataclasses import replace
+
+                ncfg = replace(cfg, max_read_len=native_len)
+            stats = _run_native(ncfg, index, classifier, timer)
             stats["index_s"] = index_s
             stats["warmup_s"] -= index_s
             stats["classify_s"] = stats["elapsed_s"] - index_s - stats["warmup_s"]
+            if native_len != cfg.max_read_len:
+                stats["auto_max_read_len"] = native_len
             _join_index_save(index, timer)
             return stats
 

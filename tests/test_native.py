@@ -265,6 +265,76 @@ def test_native_write_error_surfaces(example_dir, tmp_path):
         ns2.close()
 
 
+def test_scan_max_fused(example_dir, tmp_path):
+    """Parse-only max-fused-length scan: single, paired (junction +1),
+    gzip, and the reference's stop-at-either-EOF pairing."""
+    import gzip
+
+    s1 = str(example_dir / "sample_1.fq")
+    s2 = str(example_dir / "sample_2.fq")
+    assert native.scan_max_fused(s1) == 100
+    assert native.scan_max_fused(s1, s2) == 201  # 100 + 'N' + 100
+
+    # gzip input
+    gz = tmp_path / "s.fq.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(b"@a\nACGTACGT\n+\nIIIIIIII\n@b\nACG\n+\nIII\n")
+    assert native.scan_max_fused(str(gz)) == 8
+
+    # pairing stops at either EOF: the long third read of f1 has no mate
+    # and must not count (FastqSplitter.hpp:61 loops while BOTH parse)
+    f1 = tmp_path / "p1.fq"
+    f2 = tmp_path / "p2.fq"
+    f1.write_bytes(
+        b"@a\nACGT\n+\nIIII\n@b\nAC\n+\nII\n@c\n" + b"A" * 500 + b"\n+\n"
+        + b"I" * 500 + b"\n"
+    )
+    f2.write_bytes(b"@a\nAC\n+\nII\n@b\nACGTA\n+\nIIIII\n")
+    assert native.scan_max_fused(str(f1), str(f2)) == 2 + 1 + 5
+
+    # empty sample
+    empty = tmp_path / "e.fq"
+    empty.write_bytes(b"")
+    assert native.scan_max_fused(str(empty)) == 0
+
+    with pytest.raises(OSError):
+        native.scan_max_fused(str(tmp_path / "missing.fq"))
+
+
+@pytest.mark.slow
+def test_native_pipeline_auto_len(example_dir, tmp_path):
+    """Default invocation (no --max-read-len) must take the NATIVE path via
+    the auto length scan and stay byte-exact (reference users pass no such
+    flag; the reference streams arbitrary lengths, main.cpp:199-233)."""
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import run_pipeline
+
+    out1 = tmp_path / "a1.fq"
+    out2 = tmp_path / "a2.fq"
+    ssv = tmp_path / "a.ssv"
+    cfg = SharkConfig(
+        fasta_path=str(example_dir / "ENSG00000277117.fa"),
+        sample1_path=str(example_dir / "sample_1.fq"),
+        sample2_path=str(example_dir / "sample_2.fq"),
+        out1_path=str(out1),
+        out2_path=str(out2),
+        ssv_path=str(ssv),
+        batch_size=2048,
+    )
+    stats = run_pipeline(cfg)
+    assert stats.get("native"), "auto-length native path not taken"
+    assert stats["auto_max_read_len"] == 208  # 201 fused, %8 padding
+    assert ssv.read_bytes() == (
+        example_dir / "ENSG00000277117.truth.ssv"
+    ).read_bytes()
+    assert out1.read_bytes() == (
+        example_dir / "sharked.sample_1.truth.fq"
+    ).read_bytes()
+    assert out2.read_bytes() == (
+        example_dir / "sharked.sample_2.truth.fq"
+    ).read_bytes()
+
+
 @pytest.mark.slow
 def test_native_pipeline_golden(example_dir, tmp_path):
     """Full pipeline through the native engine: byte-exact vs truth files."""
