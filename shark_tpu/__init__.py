@@ -20,8 +20,15 @@ Architecture (TPU-first, not a port):
 """
 
 from shark_tpu.config import SharkConfig
-from shark_tpu.pipeline import run_pipeline
+from shark_tpu.index.structure import SharkIndex
+from shark_tpu.pipeline import load_or_build_index, run_pipeline
 
 __version__ = "0.1.0"
 
-__all__ = ["SharkConfig", "run_pipeline", "__version__"]
+__all__ = [
+    "SharkConfig",
+    "SharkIndex",
+    "load_or_build_index",
+    "run_pipeline",
+    "__version__",
+]
