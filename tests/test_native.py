@@ -301,6 +301,27 @@ def test_scan_max_fused(example_dir, tmp_path):
         native.scan_max_fused(str(tmp_path / "missing.fq"))
 
 
+def test_len_scan_gating(example_dir, tmp_path):
+    """The auto-length scan must not engage for explicit geometry, resume
+    runs, Python-path runs, or non-regular inputs."""
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import _start_len_scan
+
+    s1 = str(example_dir / "sample_1.fq")
+    base = dict(fasta_path="x.fa", sample1_path=s1, ssv_path="o.ssv")
+
+    join = _start_len_scan(SharkConfig(**base), None)
+    assert join is not None and join() == 100
+
+    assert _start_len_scan(SharkConfig(**base, max_read_len=128), None) is None
+    assert _start_len_scan(SharkConfig(**base, resume=True), None) is None
+    assert _start_len_scan(SharkConfig(**base, use_native=False), None) is None
+    assert _start_len_scan(SharkConfig(**base), object()) is None  # ssv_stream
+
+    missing = dict(base, sample1_path=str(tmp_path / "nope.fq"))
+    assert _start_len_scan(SharkConfig(**missing), None) is None  # not a file
+
+
 @pytest.mark.slow
 def test_native_pipeline_auto_len(example_dir, tmp_path):
     """Default invocation (no --max-read-len) must take the NATIVE path via
