@@ -1073,13 +1073,18 @@ class Classifier:
                     max_winners=self.max_winners,
                     has_rows=self._has_rows,
                 )
-            fn = jax.jit(kern)
+            fn = self._jit(kern, packed)
             self._fns[key] = fn
             if L not in self._thresh:
                 self._thresh[L] = jax.device_put(
                     emit_threshold_table(self.c, L), self._dev
                 )
         return fn
+
+    def _jit(self, kern, packed: bool):
+        """jit-compilation hook; DataParallelClassifier overrides it with
+        mesh shardings so construction/probe selection stays shared."""
+        return jax.jit(kern)
 
     def __call__(self, codes: np.ndarray):
         """codes: uint8 [B, L] -> device result tuple (async)."""

@@ -74,6 +74,11 @@ class SharkConfig:
             raise ValueError("at least 1 thread is required")
         if self.bf_gb < 1:
             raise ValueError("bf size must be >= 1 GB unit")
+        if not (1 <= self.fetch_group <= 6):
+            # the native prefetch ring (kRing = 20) must cover
+            # group * (lookahead_depth + 2) pinned batches; shk_next also
+            # guards against wrap at runtime, but fail fast here
+            raise ValueError("fetch_group must be in [1, 6]")
 
     def finalize_outputs(self) -> None:
         """Apply the reference's output-path defaults

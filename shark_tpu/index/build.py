@@ -42,8 +42,8 @@ def build_index(
     records: Iterable[Tuple[str, bytes]], k: int, size_bits: int
 ) -> SharkIndex:
     """records: iterable of (name, sequence bytes) in file order."""
-    if size_bits % 64 != 0:
-        raise ValueError("size_bits must be a multiple of 64")
+    if size_bits <= 0 or size_bits % 64 != 0:
+        raise ValueError("size_bits must be a positive multiple of 64")
     gene_names = []
     per_gene_idx = []
     per_gene_count = []

@@ -259,13 +259,16 @@ struct Batch {
   // them PARSED; an encoder thread claims a PARSED slot (ENCODING) and
   // encodes/masks/packs it into FILLED — with several encoder threads
   // slots may FILL out of order, but the consumer takes FILLED slots in
-  // ring order so the stream stays deterministic; shk_emit/shk_release
-  // frees them
-  enum State { FREE, PARSED, ENCODING, FILLED } state = FREE;
+  // ring order so the stream stays deterministic; shk_next marks the slot
+  // CONSUMED (pinned: records stay available to shk_emit) and
+  // shk_emit/shk_release frees it
+  enum State { FREE, PARSED, ENCODING, FILLED, CONSUMED } state = FREE;
 };
 
-// Must cover: the pipeline's current fetch group (<=4) + queued groups
-// (~8 batches of lookahead) + the group being drained (<=4), with margin.
+// Must cover: the pipeline's fetch group (config caps it at 6) + queued
+// groups (~8 batches of lookahead) + the group being drained, with
+// margin; shk_next errors out (never re-consumes) if a caller pins the
+// whole ring anyway.
 constexpr int kRing = 20;
 
 // Output file that transparently gzip-compresses when the name ends .gz
@@ -578,9 +581,21 @@ int shk_next(void* h, uint8_t* codes, uint8_t* packed, uint8_t* vmask,
   {
     std::unique_lock<std::mutex> lk(s->mu);
     s->cv_filled.wait(lk, [&] {
-      return s->ring[s->consume_id % kRing].state == Batch::FILLED;
+      Batch::State st = s->ring[s->consume_id % kRing].state;
+      return st == Batch::FILLED || st == Batch::CONSUMED;
     });
     id = s->consume_id;
+    if (s->ring[id % kRing].state == Batch::CONSUMED) {
+      // the consumer wrapped onto a slot it already took but never
+      // released: every ring slot is pinned (the caller's fetch
+      // group/lookahead exceeds kRing). Without this guard the stale
+      // batch would be silently re-consumed as new data.
+      if (s->err.empty())
+        s->err =
+            "prefetch ring exhausted: too many unreleased batches "
+            "(fetch_group x lookahead must stay below the ring size)";
+      return -1;
+    }
   }
   int slot = (int)(id % kRing);
   Batch& b = s->ring[slot];
@@ -600,6 +615,7 @@ int shk_next(void* h, uint8_t* codes, uint8_t* packed, uint8_t* vmask,
     memcpy(vmask, b.vmask.data(), (size_t)s->batch_size * (s->max_len / 8));
   {
     std::unique_lock<std::mutex> lk(s->mu);
+    b.state = Batch::CONSUMED;
     s->consume_id++;
   }
   *slot_out = slot;
@@ -876,35 +892,41 @@ void* shk_build(const char* fasta_path, int k, uint64_t size_bits,
   PhaseTrace tr;
   r->size_bits = size_bits;
   r->threads = threads > 0 ? threads : 1;
-  LineReader lr(fasta_path);
-  if (!lr.ok()) {
+  if (size_bits == 0 || size_bits % 64 != 0) {
+    // matches the Python builder's guard (index/build.py): a non-multiple
+    // of 32 would let shk_build_fill write past the size_bits/32-word
+    // bf_words buffer, and 0 would divide by zero in the hash modulo
+    r->err = "size_bits must be a positive multiple of 64";
+    return r;
+  }
+  FastxReader fr(fasta_path);
+  if (!fr.ok()) {
     r->err = "cannot open fasta";
     return r;
   }
   // read all records up front (sequence bytes only; a human transcriptome
-  // is a few hundred MB), then scan/hash/dedup genes in parallel
+  // is a few hundred MB), then scan/hash/dedup genes in parallel. Records
+  // come through the kseq-equivalent FastxReader so a FASTQ-format
+  // reference (kseq parity: main.cpp:31-32 runs FastaSplitter on kseq)
+  // indexes identically to the Python builder — a raw line loop would
+  // append '+'/quality lines as sequence and mint phantom genes from
+  // quality lines starting with '@' or '>'
   std::vector<std::string> seqs;
-  std::string line;
-  long gene = -1;
-  while (lr.getline(line)) {
-    if (!line.empty() && (line[0] == '>' || line[0] == '@')) {
-      gene++;
-      seqs.emplace_back();
-      size_t sp = line.find_first_of(" \t", 1);
-      r->names.append(line, 1,
-                      (sp == std::string::npos ? line.size() : sp) - 1);
-      r->names.push_back('\n');
-    } else if (gene >= 0) {
-      seqs[gene] += line;
-    }
+  Record rec;
+  int prc;
+  while ((prc = fr.next(rec)) == 1) {
+    seqs.emplace_back(std::move(rec.seq));
+    r->names.append(rec.name);
+    r->names.push_back('\n');
   }
-  if (lr.bad()) {
-    // an index silently built from a truncated reference would classify
-    // against a partial gene set and still report success
-    r->err = "truncated or corrupt input stream (gzip error)";
+  if (prc < 0) {
+    // an index silently built from a truncated/malformed reference would
+    // classify against a partial gene set and still report success
+    const char* se = fr.stream_error();
+    r->err = se ? se : "malformed FASTA/FASTQ record in reference";
     return r;
   }
-  if (gene + 1 > 65536) {
+  if (seqs.size() > 65536) {
     r->err = "too many genes (uint16 gene-id capacity is 65536)";
     return r;
   }

@@ -301,6 +301,75 @@ def test_scan_max_fused(example_dir, tmp_path):
         native.scan_max_fused(str(tmp_path / "missing.fq"))
 
 
+def test_native_build_fastq_reference_matches_python(tmp_path):
+    """A FASTQ-format reference (kseq parity: the reference's FastaSplitter
+    runs on kseq, main.cpp:31-32) must index identically through the native
+    and Python builders — including quality lines that start with '@'/'>'
+    or contain ACGT bytes, which a raw line parser would misread as phantom
+    genes/sequence."""
+    from shark_tpu.index.build import build_index
+    from shark_tpu.io.fastx import read_fasta
+    from shark_tpu.io.native import build_index_native
+
+    ref = tmp_path / "genes.fq"
+    ref.write_bytes(
+        b"@gene_a extra tokens\n"
+        b"ACGTACGTACGTACGTACGT\n"
+        b"+\n"
+        b"@@FFFDDDHHIIACGTACGT\n"  # starts with '@', contains ACGT bytes
+        b">gene_b\n"               # mixed FASTA record in the same file
+        b"TTTTGGGGCCCCAAAATTTT\n"
+        b"@gene_c\n"
+        b"CCCCGGGGTTTTAAAACCCC\n"
+        b"+\n"
+        b">IIIIIIIIIIIIIIIIIII\n"  # starts with '>'
+    )
+    k, bits = 7, 1 << 12
+    nat = build_index_native(str(ref), k, bits, threads=2)
+    py = build_index(read_fasta(str(ref)), k, bits)
+    assert nat.gene_names == py.gene_names == ["gene_a", "gene_b", "gene_c"]
+    np.testing.assert_array_equal(nat.bf_words, py.bf_words)
+    np.testing.assert_array_equal(nat.word_rank, py.word_rank)
+    np.testing.assert_array_equal(nat.offsets, py.offsets)
+    np.testing.assert_array_equal(nat.gene_ids, py.gene_ids)
+
+
+def test_native_build_size_bits_guard(example_dir):
+    """The native builder must reject the sizes the Python builder rejects
+    (a non-multiple of 32 would write past the bf_words buffer; 0 would
+    divide by zero in the hash modulo)."""
+    from shark_tpu.io.native import build_index_native
+
+    fa = str(example_dir / "ENSG00000277117.fa")
+    for bad in (0, 100, 96):
+        with pytest.raises(ValueError, match="multiple of 64"):
+            build_index_native(fa, 17, bad)
+
+
+def test_ring_exhaustion_is_an_error(example_dir):
+    """Pinning more batches than the prefetch ring holds must raise, not
+    silently re-consume a stale slot as new data."""
+    ns = native.NativeStream(
+        str(example_dir / "sample_1.fq"), "", 1, 104, 0
+    )
+    try:
+        with pytest.raises(ValueError, match="prefetch ring exhausted"):
+            for _ in range(25):  # kRing = 20; never release
+                assert ns.next_batch() is not None
+    finally:
+        ns.close()
+
+
+def test_fetch_group_validated():
+    from shark_tpu.config import SharkConfig
+
+    cfg = SharkConfig(
+        fasta_path="x.fa", sample1_path="y.fq", fetch_group=7
+    )
+    with pytest.raises(ValueError, match="fetch_group"):
+        cfg.validate()
+
+
 def test_len_scan_gating(example_dir, tmp_path):
     """The auto-length scan must not engage for explicit geometry, resume
     runs, Python-path runs, or non-regular inputs."""
