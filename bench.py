@@ -68,13 +68,27 @@ def gen_workload():
     fastq_q = os.path.join(CACHE, "reads_q.fq")
     fq_p1 = os.path.join(CACHE, "pairs_1.fq")
     fq_p2 = os.path.join(CACHE, "pairs_2.fq")
+    # the stamp must encode EVERY constant that shapes the generated files
+    # or the cached index — a stale pairs_*/index.d otherwise survives a
+    # constant change and silently mislabels the metrics
     stamp = os.path.join(
-        CACHE, f"stamp3_{N_GENES}x{GENE_LEN}_{N_READS}x{READ_LEN}"
+        CACHE,
+        f"stamp4_{N_GENES}x{GENE_LEN}_{N_READS}x{READ_LEN}_{N_PAIRS}p"
+        f"_k{K}_b{BF_BITS}",
     )
     paths = (fasta, fastq, fastq_q, fq_p1, fq_p2)
     if os.path.exists(stamp):
         return paths
     log("generating synthetic workload ...")
+    # a cached index built from the previous workload's fasta (or an older
+    # k/bf geometry) must die with the stamp, or every TPU pass would
+    # classify against the wrong index while the CPU baseline indexes the
+    # new fasta
+    import shutil
+
+    idx_dir = os.path.join(CACHE, "index.d")
+    if os.path.isdir(idx_dir):
+        shutil.rmtree(idx_dir)
     rng = np.random.default_rng(12345)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     comp = {0: 3, 1: 2, 2: 1, 3: 0}
@@ -181,6 +195,10 @@ def run_baseline(fasta, fastq, fastq2="", minq=0, best_of=3) -> dict:
     return best
 
 
+# idx_dir -> (index, warm Classifier); shared across workloads/re-visits
+_WARM: dict = {}
+
+
 def run_tpu(
     fasta, fastq, fastq2="", minq=0, max_len=MAX_LEN, passes=3,
     batch_size=65536,
@@ -203,19 +221,29 @@ def run_tpu(
         max_read_len=max_len,
     )
     idx_dir = os.path.join(CACHE, "index.d")
-    if os.path.isdir(idx_dir):
-        cfg.load_index = idx_dir
-    else:
-        cfg.save_index = idx_dir
-    from shark_tpu.classify.step import Classifier
-    from shark_tpu.pipeline import load_or_build_index
-    from shark_tpu.utils.timers import PhaseTimer
+    # ONE warm classifier (device-resident index + jit cache) serves every
+    # workload and re-visit: a fresh Classifier per call would re-pay the
+    # index load, the h2d upload, and a ~10-15s remote jit compile per
+    # geometry (several minutes over a 6-run bench)
+    cached = _WARM.get(idx_dir)
+    if cached is None:
+        if os.path.isdir(idx_dir):
+            cfg.load_index = idx_dir
+        else:
+            cfg.save_index = idx_dir
+        from shark_tpu.classify.step import Classifier
+        from shark_tpu.pipeline import load_or_build_index
+        from shark_tpu.utils.timers import PhaseTimer
 
-    index = load_or_build_index(cfg, PhaseTimer())
-    settle(index)  # index save + page flush must NOT overlap timed passes
+        index = load_or_build_index(cfg, PhaseTimer())
+        settle(index)  # index save + page flush must NOT overlap timing
+        classifier = Classifier(index, max_winners=cfg.max_winners, c=cfg.c)
+        _WARM[idx_dir] = (index, classifier)
+    else:
+        index, classifier = cached
+        settle()
     cfg.load_index = idx_dir
     cfg.save_index = ""
-    classifier = Classifier(index, max_winners=cfg.max_winners, c=cfg.c)
     log(f"probe path: {classifier.probe}")
     best = None
     for p in range(passes):

@@ -35,7 +35,11 @@ def run(n_reads: int = 500_000) -> dict:
     fastq = os.path.join(CACHE, f"reads{n_reads}.fq")
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     rng = np.random.default_rng(4242)
-    if not os.path.exists(fastq):
+    # completion stamp written LAST: a generation interrupted by bench.py's
+    # SIGTERM handler (os._exit) must not leave a torn fastq that every
+    # later run trusts
+    stamp = os.path.join(CACHE, f"stamp_{n_reads}")
+    if not os.path.exists(stamp):
         log("generating family workload ...")
         genes = []
         core_start = (GENE_LEN - CORE) // 2
@@ -62,6 +66,7 @@ def run(n_reads: int = 500_000) -> dict:
                     start = int(rng.integers(0, core_start - READ_LEN))
                 arr = genes[gi][start : start + READ_LEN]
                 f.write(b"@r%07d\n" % i + arr.tobytes() + b"\n+\n" + qual + b"\n")
+        open(stamp, "w").close()
 
     sys.path.insert(0, ROOT)
     import bench as bench_mod

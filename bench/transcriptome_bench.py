@@ -44,7 +44,16 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
     fastq = os.path.join(CACHE, f"reads{n_genes}_{n_reads}.fq")
     rng = np.random.default_rng(7)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    if not os.path.exists(fastq):
+    # completion stamp written LAST (bench.py's SIGTERM handler os._exits
+    # mid-generation; a torn fastq must not be trusted forever), and the
+    # cached index dies with a regeneration — it was built from the old fasta
+    stamp = os.path.join(CACHE, f"stamp_{n_genes}_{n_reads}")
+    if not os.path.exists(stamp):
+        import shutil
+
+        stale_idx = os.path.join(CACHE, f"index{n_genes}.d")
+        if os.path.isdir(stale_idx):
+            shutil.rmtree(stale_idx)
         log(f"generating {n_genes} genes x {GENE_LEN}bp + {n_reads} reads ...")
         # gene families (8 members sharing a 300bp core) every 10th gene so
         # the degree histogram has a real multi-gene tail
@@ -71,6 +80,7 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
                     int(starts[i]) : int(starts[i]) + READ_LEN
                 ]
                 f.write(b"@r%07d\n" % i + arr.tobytes() + b"\n+\n" + qual + b"\n")
+        open(stamp, "w").close()
 
     from shark_tpu.classify.step import Classifier, index_geometry
     from shark_tpu.config import SharkConfig
@@ -148,7 +158,14 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
                     )
                     want = [index.gene_names[g] for g in wins]
                     got = ssv.get(rid, [])
-                    assert got == want, (rid, got, want)
+                    if got != want:
+                        # explicit raise, not assert: a bit-exactness
+                        # violation must survive python -O and carry a
+                        # distinct message in the driver log
+                        raise RuntimeError(
+                            f"txome oracle mismatch for read {rid}: "
+                            f"ssv={got} oracle={want}"
+                        )
                     checked += 1
     log(f"oracle spot-check: {checked} reads exact")
 
