@@ -426,6 +426,41 @@ def test_native_pipeline_auto_len(example_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_native_pipeline_grouped_fetch_golden(example_dir, tmp_path):
+    """fetch_group > 1 (grouped d2h verdict fetch: device concat + one
+    transfer per group, offset-sliced in the drain) must stay byte-exact,
+    including an uneven final group and the CONSUMED ring accounting."""
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import run_pipeline
+
+    out1 = tmp_path / "g1.fq"
+    out2 = tmp_path / "g2.fq"
+    ssv = tmp_path / "g.ssv"
+    cfg = SharkConfig(
+        fasta_path=str(example_dir / "ENSG00000277117.fa"),
+        sample1_path=str(example_dir / "sample_1.fq"),
+        sample2_path=str(example_dir / "sample_2.fq"),
+        out1_path=str(out1),
+        out2_path=str(out2),
+        ssv_path=str(ssv),
+        batch_size=512,  # 5000 pairs -> 10 batches; groups of 3 + tail of 1
+        max_read_len=208,
+        fetch_group=3,
+    )
+    stats = run_pipeline(cfg)
+    assert stats.get("native"), "native path not taken"
+    assert ssv.read_bytes() == (
+        example_dir / "ENSG00000277117.truth.ssv"
+    ).read_bytes()
+    assert out1.read_bytes() == (
+        example_dir / "sharked.sample_1.truth.fq"
+    ).read_bytes()
+    assert out2.read_bytes() == (
+        example_dir / "sharked.sample_2.truth.fq"
+    ).read_bytes()
+
+
+@pytest.mark.slow
 def test_native_pipeline_golden(example_dir, tmp_path):
     """Full pipeline through the native engine: byte-exact vs truth files."""
     from shark_tpu.config import SharkConfig
