@@ -108,6 +108,8 @@ def get_lib():
         lib.shk_n_reads_out.argtypes = [ctypes.c_void_p]
         lib.shk_error.restype = ctypes.c_char_p
         lib.shk_error.argtypes = [ctypes.c_void_p]
+        lib.shk_ring_capacity.restype = ctypes.c_int
+        lib.shk_ring_capacity.argtypes = []
         lib.shk_close.restype = ctypes.c_int
         lib.shk_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -335,3 +337,12 @@ def scan_max_fused(fq1: str, fq2: str = "") -> int:
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def ring_capacity() -> int:
+    """Prefetch-ring slot count (kRing): the ceiling on simultaneously
+    pinned (consumed-but-unreleased) batches."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    return int(lib.shk_ring_capacity())

@@ -760,6 +760,10 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
   return 0;
 }
 
+// Ring capacity for callers sizing their lookahead (and for tests that
+// exercise the exhaustion guard without hardcoding the constant).
+int shk_ring_capacity() { return kRing; }
+
 long shk_n_associations(void* h) { return ((Stream*)h)->n_associations; }
 long shk_n_reads_out(void* h) { return ((Stream*)h)->n_reads_out; }
 

@@ -518,9 +518,12 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
             except BaseException as e:  # noqa: BLE001 - reraised on main
                 drain_err.append(e)
 
+    n_groups = [0]  # flushed verdict groups (observability + tests)
+
     def flush_group(group):
         if not group:
             return
+        n_groups[0] += 1
         cat = (
             concat(*[e[3][0] for e in group])
             if len(group) > 1
@@ -617,6 +620,7 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
         "warmup_s": warm_s,
         "classify_s": elapsed - warm_s,
         "native": True,
+        "fetch_groups": n_groups[0],
     }
     if reads_done0:
         stats["resumed_reads"] = reads_done0

@@ -349,12 +349,14 @@ def test_native_build_size_bits_guard(example_dir):
 def test_ring_exhaustion_is_an_error(example_dir):
     """Pinning more batches than the prefetch ring holds must raise, not
     silently re-consume a stale slot as new data."""
+    k_ring = native.ring_capacity()
+    assert k_ring < 5000  # the sample must be able to overfill the ring
     ns = native.NativeStream(
         str(example_dir / "sample_1.fq"), "", 1, 104, 0
     )
     try:
         with pytest.raises(ValueError, match="prefetch ring exhausted"):
-            for _ in range(25):  # kRing = 20; never release
+            for _ in range(k_ring + 5):  # never release
                 assert ns.next_batch() is not None
     finally:
         ns.close()
@@ -391,83 +393,15 @@ def test_len_scan_gating(example_dir, tmp_path):
     assert _start_len_scan(SharkConfig(**missing), None) is None  # not a file
 
 
-@pytest.mark.slow
-def test_native_pipeline_auto_len(example_dir, tmp_path):
-    """Default invocation (no --max-read-len) must take the NATIVE path via
-    the auto length scan and stay byte-exact (reference users pass no such
-    flag; the reference streams arbitrary lengths, main.cpp:199-233)."""
+def _run_native_golden(example_dir, tmp_path, **cfg_overrides):
+    """Run the paired example through the native pipeline with the given
+    config overrides, assert byte-equality with all three truth files, and
+    return the run stats for extra assertions."""
     from shark_tpu.config import SharkConfig
     from shark_tpu.pipeline import run_pipeline
 
-    out1 = tmp_path / "a1.fq"
-    out2 = tmp_path / "a2.fq"
-    ssv = tmp_path / "a.ssv"
-    cfg = SharkConfig(
-        fasta_path=str(example_dir / "ENSG00000277117.fa"),
-        sample1_path=str(example_dir / "sample_1.fq"),
-        sample2_path=str(example_dir / "sample_2.fq"),
-        out1_path=str(out1),
-        out2_path=str(out2),
-        ssv_path=str(ssv),
-        batch_size=2048,
-    )
-    stats = run_pipeline(cfg)
-    assert stats.get("native"), "auto-length native path not taken"
-    assert stats["auto_max_read_len"] == 208  # 201 fused, %8 padding
-    assert ssv.read_bytes() == (
-        example_dir / "ENSG00000277117.truth.ssv"
-    ).read_bytes()
-    assert out1.read_bytes() == (
-        example_dir / "sharked.sample_1.truth.fq"
-    ).read_bytes()
-    assert out2.read_bytes() == (
-        example_dir / "sharked.sample_2.truth.fq"
-    ).read_bytes()
-
-
-@pytest.mark.slow
-def test_native_pipeline_grouped_fetch_golden(example_dir, tmp_path):
-    """fetch_group > 1 (grouped d2h verdict fetch: device concat + one
-    transfer per group, offset-sliced in the drain) must stay byte-exact,
-    including an uneven final group and the CONSUMED ring accounting."""
-    from shark_tpu.config import SharkConfig
-    from shark_tpu.pipeline import run_pipeline
-
-    out1 = tmp_path / "g1.fq"
-    out2 = tmp_path / "g2.fq"
-    ssv = tmp_path / "g.ssv"
-    cfg = SharkConfig(
-        fasta_path=str(example_dir / "ENSG00000277117.fa"),
-        sample1_path=str(example_dir / "sample_1.fq"),
-        sample2_path=str(example_dir / "sample_2.fq"),
-        out1_path=str(out1),
-        out2_path=str(out2),
-        ssv_path=str(ssv),
-        batch_size=512,  # 5000 pairs -> 10 batches; groups of 3 + tail of 1
-        max_read_len=208,
-        fetch_group=3,
-    )
-    stats = run_pipeline(cfg)
-    assert stats.get("native"), "native path not taken"
-    assert ssv.read_bytes() == (
-        example_dir / "ENSG00000277117.truth.ssv"
-    ).read_bytes()
-    assert out1.read_bytes() == (
-        example_dir / "sharked.sample_1.truth.fq"
-    ).read_bytes()
-    assert out2.read_bytes() == (
-        example_dir / "sharked.sample_2.truth.fq"
-    ).read_bytes()
-
-
-@pytest.mark.slow
-def test_native_pipeline_golden(example_dir, tmp_path):
-    """Full pipeline through the native engine: byte-exact vs truth files."""
-    from shark_tpu.config import SharkConfig
-    from shark_tpu.pipeline import run_pipeline
-
-    out1 = tmp_path / "n1.fq"
-    out2 = tmp_path / "n2.fq"
+    out1 = tmp_path / "out1.fq"
+    out2 = tmp_path / "out2.fq"
     ssv = tmp_path / "out.ssv"
     cfg = SharkConfig(
         fasta_path=str(example_dir / "ENSG00000277117.fa"),
@@ -476,12 +410,10 @@ def test_native_pipeline_golden(example_dir, tmp_path):
         out1_path=str(out1),
         out2_path=str(out2),
         ssv_path=str(ssv),
-        batch_size=2048,
-        max_read_len=256,
+        **cfg_overrides,
     )
     stats = run_pipeline(cfg)
     assert stats.get("native"), "native path not taken"
-    assert stats["n_reads"] == 5000
     assert ssv.read_bytes() == (
         example_dir / "ENSG00000277117.truth.ssv"
     ).read_bytes()
@@ -491,3 +423,41 @@ def test_native_pipeline_golden(example_dir, tmp_path):
     assert out2.read_bytes() == (
         example_dir / "sharked.sample_2.truth.fq"
     ).read_bytes()
+    return stats
+
+
+@pytest.mark.slow
+def test_native_pipeline_auto_len(example_dir, tmp_path):
+    """Default invocation (no --max-read-len) must take the NATIVE path via
+    the auto length scan and stay byte-exact (reference users pass no such
+    flag; the reference streams arbitrary lengths, main.cpp:199-233)."""
+    stats = _run_native_golden(example_dir, tmp_path, batch_size=2048)
+    assert stats["auto_max_read_len"] == 208  # 201 fused, %8 padding
+
+
+@pytest.mark.slow
+def test_native_pipeline_grouped_fetch_golden(example_dir, tmp_path):
+    """fetch_group > 1 (grouped d2h verdict fetch: device concat + one
+    transfer per group, offset-sliced in the drain) must stay byte-exact,
+    including an uneven final group and the CONSUMED ring accounting."""
+    stats = _run_native_golden(
+        example_dir,
+        tmp_path,
+        batch_size=512,  # 5000 pairs -> 10 batches; groups of 3 + tail of 1
+        max_read_len=208,
+        fetch_group=3,
+    )
+    # prove the grouped path actually engaged: 10 batches in groups of 3
+    # flush as 3+3+3+1 — a regression that ignores/clamps fetch_group
+    # would still be byte-exact but flush 10 groups
+    assert stats["fetch_groups"] == 4
+
+
+@pytest.mark.slow
+def test_native_pipeline_golden(example_dir, tmp_path):
+    """Full pipeline through the native engine: byte-exact vs truth files."""
+    stats = _run_native_golden(
+        example_dir, tmp_path, batch_size=2048, max_read_len=256
+    )
+    assert stats["n_reads"] == 5000
+    assert stats["fetch_groups"] == 3  # 5000/2048 -> 3 groups of 1
