@@ -139,43 +139,46 @@ def row_geometry(deg: np.ndarray) -> Tuple[int, int]:
     sample concentrated on tail rows only pays the small ext gather.
     Degrees common in the index (true families) always sit below the
     1e-4 boundary and stay inline."""
-    n_set = deg.size
-    if n_set == 0:
-        return 1, 0
-    max_deg = int(deg.max())
-    D_full = 1 << int(np.ceil(np.log2(max(1, max_deg))))
-    # floor of 32 rows: a real shared region (a ~300bp family core is
-    # ~284 rows) always exceeds it and stays inline; isolated
-    # collision-merged rows (a handful per index) fall under it and take
-    # the ext path. A sub-32-row true repeat would ext-escape too — exact
-    # either way, worst case a few host redos per batch.
-    tail_budget = max(32, n_set // 10000)
-    D = D_full
-    for cand in (4, 8, 16, 32, 64):
-        if cand >= D_full:
-            break
-        if int(np.count_nonzero(deg > cand)) <= tail_budget:
-            D = cand
-            break
-    # byte budget on the row table (transcriptome scale)
-    while D > GENE_D_CHOICES[0] and n_set * (D + 1) * 2 > GENE_MAT_BUDGET:
-        D >>= 1
-    if D >= max_deg:
-        return D, 0
-    resid = max_deg - (D - 2)
-    ext_w = 1 << int(np.ceil(np.log2(max(1, resid))))
-    return D, min(ext_w, EXT_MAX_W)
+    return _row_geometry_impl(deg, tail_rule=True)
 
 
 def row_geometry_full(deg: np.ndarray) -> Tuple[int, int]:
     """Geometry for paths that cannot reach an extension table at query
-    time (the sharded-BF reply rows): D = pow2(max degree), ext only when
-    the byte budget forces a cap (those rows host-recompute)."""
+    time (the sharded-BF reply rows): D = pow2(max degree) up to the
+    inline cap, ext only when a cap forces it (those rows
+    host-recompute)."""
+    return _row_geometry_impl(deg, tail_rule=False)
+
+
+def _row_geometry_impl(deg: np.ndarray, tail_rule: bool) -> Tuple[int, int]:
     n_set = deg.size
     if n_set == 0:
         return 1, 0
     max_deg = int(deg.max())
-    D = 1 << int(np.ceil(np.log2(max(1, max_deg))))
+    # hard inline cap: keys_from_gm unrolls D full [B, Ls] key lanes and a
+    # ~D*Ls-wide finish sort, so D past GENE_D_CHOICES' ceiling is a
+    # compile/HBM blowup (a 1000-member family would otherwise demand
+    # D=1024). Degrees past the cap route through the extension table —
+    # or, beyond ext_w/EXT_CAP2 (and always on the no-ext sharded path),
+    # the exact host-recompute escape.
+    D_full = min(
+        1 << int(np.ceil(np.log2(max(1, max_deg)))), GENE_D_CHOICES[-1]
+    )
+    D = D_full
+    if tail_rule:
+        # floor of 32 rows: a real shared region (a ~300bp family core is
+        # ~284 rows) always exceeds it and stays inline; isolated
+        # collision-merged rows (a handful per index) fall under it and
+        # take the ext path. A sub-32-row true repeat would ext-escape
+        # too — exact either way, worst case a few host redos per batch.
+        tail_budget = max(32, n_set // 10000)
+        for cand in (4, 8, 16, 32, 64):
+            if cand >= D_full:
+                break
+            if int(np.count_nonzero(deg > cand)) <= tail_budget:
+                D = cand
+                break
+    # byte budget on the row table (transcriptome scale)
     while D > GENE_D_CHOICES[0] and n_set * (D + 1) * 2 > GENE_MAT_BUDGET:
         D >>= 1
     if D >= max_deg:
@@ -276,6 +279,11 @@ def extract_pairs(packed: jnp.ndarray, winners: jnp.ndarray, cap: int):
     every sentinel-valued entry DECODES to exactly that pair, so the
     caller's slice-by-count reconstruction is exact either way."""
     B, W = winners.shape
+    if B > 65536:
+        # the read index rides the key's high 16 bits; a larger batch
+        # would alias read 65536 onto read 0 (callers guard on this too,
+        # but the invariant belongs to the encoding)
+        raise ValueError("extract_pairs requires batch size <= 65536")
     nw = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
     emit = ((packed >> PACK_EMIT_SHIFT) & 1) == 1
     ovf = ((packed >> PACK_OVF_SHIFT) & 1) == 1
@@ -330,7 +338,6 @@ def build_gene_rows(
     leaves those slots zero — the kernel flags such reads for exact host
     recompute instead."""
     n_set = deg.size
-    max_deg = int(deg.max()) if n_set else 0
     D, ext_w = geometry or row_geometry(deg)
     gene_mat = np.zeros((max(n_set, 1), D + 1), dtype=np.uint16)
     ext_mat = None
@@ -360,6 +367,26 @@ def build_gene_rows(
                 np.repeat(offsets[:-1][ovf] + (D - 2), take) + ecols
             ]
     return gene_mat, ext_mat
+
+
+def compact_true_cols(mask: jnp.ndarray, pos_i32: jnp.ndarray, cap: int):
+    """Columns of up to `cap` True entries of mask [B, C] (ascending
+    column order == ascending position in both the full-axis and
+    compacted-positions layouts), with validity and the positions at
+    those columns: (scol i32[B, cap], svalid bool[B, cap],
+    cpos i32[B, cap])."""
+    B, C = mask.shape
+    col_iota = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[None, :], (B, C)
+    )
+    need_col = jnp.where(mask, col_iota, C)
+    scol_s = jnp.sort(need_col, axis=1)[:, :cap]
+    svalid = scol_s < C
+    scol = jnp.minimum(scol_s, C - 1)
+    cpos = jnp.where(
+        svalid, jnp.take_along_axis(pos_i32, scol, axis=1), 0
+    )
+    return scol, svalid, cpos
 
 
 def _ragged_cols(counts: np.ndarray) -> np.ndarray:
@@ -566,7 +593,6 @@ def finish_kernel(
     Ls = hit.shape[1]
     off = L - Ls
     D = meta.degree
-    G = meta.n_genes
     pos_bits = meta.pos_bits
     assert L <= (1 << pos_bits)
     assert gm.shape[-1] == D + 1
@@ -641,25 +667,14 @@ def keys_from_gm(
         row_ovf = jnp.any(needy, axis=1)
         return keys, row_ovf
     cap2 = EXT_CAP2
-    # compact needy windows by COLUMN index (ascending column == ascending
-    # position in both the full-axis and compacted-positions layouts)
-    C = Ls
-    col_iota = jnp.broadcast_to(
-        jnp.arange(C, dtype=jnp.int32)[None, :], (B, C)
-    )
-    need_col = jnp.where(needy, col_iota, C)
-    scol_s = jnp.sort(need_col, axis=1)[:, :cap2]  # [B, cap2]
-    svalid = scol_s < C
-    scol = jnp.minimum(scol_s, C - 1)
+    scol, svalid, cpos = compact_true_cols(needy, pos_i32, cap2)
     gm2 = jnp.take_along_axis(gm, scol[..., None], axis=1)
     erow = row_field(gm2, D - 1).astype(jnp.int32) | (
         row_field(gm2, D).astype(jnp.int32) << 16
     )
     eg = take_rows(ext_mat, jnp.where(svalid, erow, 0))  # [B, cap2, ext_w]
     resid = jnp.where(svalid, row_field(gm2, 0).astype(jnp.int32) - (D - 2), 0)
-    spos = jnp.where(
-        svalid, jnp.take_along_axis(pos_i32, scol, axis=1), 0
-    ).astype(jnp.uint32)
+    spos = cpos.astype(jnp.uint32)
     for d in range(ext_w):
         g = eg[..., d].astype(jnp.uint32)
         key = (g << pos_bits) | spos
@@ -711,15 +726,31 @@ def finish_from_keys(
     # key width) and the cov field tops out at k * width, so the packed
     # value stays under 2^31; both fields are monotone, so the cummax
     # carries the same per-field segment bases as two separate cummaxes.
+    # Wide geometries (huge D rows, or fused lengths in the multi-KB
+    # range) overflow the 31-bit budget — those fall back to two unpacked
+    # pairs, bit-identically.
     width = key_mat.shape[1]
     HB = max(1, int(np.ceil(np.log2(width + 1))))
-    assert k * width < (1 << (31 - HB))
-    packed_c = (contrib << HB) | ones
-    csum = jnp.cumsum(packed_c, axis=1)
-    base = jax.lax.cummax(jnp.where(seg_start, csum - packed_c, 0), axis=1)
-    both = csum - base
-    cov = both >> HB
-    hits = both & ((1 << HB) - 1)
+    if k * width < (1 << (31 - HB)):
+        packed_c = (contrib << HB) | ones
+        csum = jnp.cumsum(packed_c, axis=1)
+        base = jax.lax.cummax(
+            jnp.where(seg_start, csum - packed_c, 0), axis=1
+        )
+        both = csum - base
+        cov = both >> HB
+        hits = both & ((1 << HB) - 1)
+    else:
+        csum_c = jnp.cumsum(contrib, axis=1)
+        base_c = jax.lax.cummax(
+            jnp.where(seg_start, csum_c - contrib, 0), axis=1
+        )
+        cov = csum_c - base_c
+        csum_h = jnp.cumsum(ones, axis=1)
+        base_h = jax.lax.cummax(
+            jnp.where(seg_start, csum_h - ones, 0), axis=1
+        )
+        hits = csum_h - base_h
 
     M = jnp.int32(L + 1)
     combined = jnp.where(seg_end, cov * M + hits, 0)
@@ -832,21 +863,9 @@ def finish_from_tags(
             # (family cores) take the full-width branch of the same cond.
             # Both branches are bit-exact.
             pos_i32 = pos_u32.astype(jnp.int32)
-            col_iota = jnp.broadcast_to(
-                jnp.arange(Ls, dtype=jnp.int32)[None, :], (B, Ls)
-            )
 
             def _compact_cols(mask):
-                """Columns of up to ROW_CAP True entries of mask, with
-                validity and absolute positions."""
-                need_col = jnp.where(mask, col_iota, Ls)
-                scol_s = jnp.sort(need_col, axis=1)[:, :ROW_CAP]
-                svalid = scol_s < Ls
-                scol = jnp.minimum(scol_s, Ls - 1)
-                cpos = jnp.where(
-                    svalid, jnp.take_along_axis(pos_i32, scol, axis=1), 0
-                )
-                return scol, svalid, cpos
+                return compact_true_cols(mask, pos_i32, ROW_CAP)
 
             def compact_branch(_):
                 scol, svalid, cpos = _compact_cols(is_row)

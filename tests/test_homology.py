@@ -137,6 +137,110 @@ def test_high_degree_rows_match_oracle(members):
     assert gi.tolist() == want_g
 
 
+def test_wide_family_panel_matches_oracle():
+    """A 100-member family (degree ~100 rows): the geometry must stay at
+    the inline cap (D used to blow up to pow2(max_degree)=128, and the
+    packed-cumsum 31-bit guard then crashed the kernel at trace time for
+    any batch), with the over-cap tails routed through the extension
+    table / host-recompute escape — verdicts exactly equal the oracle."""
+    import shark_tpu.classify.step as step
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.pipeline import _winner_pairs
+
+    rng = np.random.default_rng(31)
+    records = []
+    for fam in range(3):
+        core = BASES[rng.integers(0, 4, size=150)]
+        for m in range(100):
+            left = BASES[rng.integers(0, 4, size=40)]
+            right = BASES[rng.integers(0, 4, size=40)]
+            records.append(
+                (
+                    f"W{fam}M{m}",
+                    np.concatenate([left, core, right]).tobytes(),
+                )
+            )
+    index = build_index(records, K, SIZE_BITS)
+    assert index.max_degree >= 100
+    for geom in (step.index_geometry(index), step.index_geometry3(index)):
+        assert geom[0] <= step.GENE_D_CHOICES[-1]
+    oracle = build_oracle_index(records, K, SIZE_BITS)
+    reads = []
+    for _ in range(120):
+        _, seq = records[rng.integers(0, len(records))]
+        start = int(rng.integers(0, len(seq) - 90))
+        reads.append(seq[start : start + 90])
+    L = 128
+    codes = np.full((len(reads), L), 4, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = encode_bytes(r)
+    clf = Classifier(index, max_winners=8, c=0.6)
+    result = clf(codes)  # pre-fix: AssertionError at jit trace
+    cfg = SharkConfig(fasta_path="x", sample1_path="y")
+    ri, gi = _winner_pairs(cfg, index, result, len(reads), codes, 8)
+    want_r, want_g = [], []
+    n_multi = 0
+    for i, r in enumerate(reads):
+        wins, _, _ = classify_read(oracle, encode_bytes(r), 0.6, False)
+        want_r.extend([i] * len(wins))
+        want_g.extend(wins)
+        n_multi += len(wins) > 8
+    assert n_multi > 5  # 100-way ties must exercise the overflow redo
+    assert ri.tolist() == want_r
+    assert gi.tolist() == want_g
+
+
+def test_finish_from_keys_wide_fallback_matches_packed():
+    """Key widths past the packed-cumsum 31-bit budget take the unpacked
+    two-cumsum fallback; padding a narrow key matrix with sentinels into
+    the fallback regime must leave every verdict bit-identical."""
+    from shark_tpu.classify.step import (
+        StaticMeta,
+        emit_threshold_table,
+        finish_from_keys,
+    )
+
+    rng = np.random.default_rng(3)
+    G, pos_bits, L, k = 8, 7, 100, 31
+    meta = StaticMeta(
+        k=k, size_bits=1 << 20, n_genes=G, degree=1, pos_bits=pos_bits,
+        ext_w=0, degree3=1, ext3_w=0,
+    )
+    B, narrow = 5, 64
+    sentinel = np.uint32(G << pos_bits)
+    keys = np.full((B, narrow), sentinel, dtype=np.uint32)
+    for b in range(B):
+        for g in rng.choice(G, size=3, replace=False):
+            pos = np.sort(
+                rng.choice(np.arange(k, L), size=int(rng.integers(1, 9)),
+                           replace=False)
+            )
+            for j, p in enumerate(pos):
+                keys[b, rng.integers(0, narrow)] = np.uint32(
+                    (int(g) << pos_bits) | int(p)
+                )
+    length = np.full(B, L, dtype=np.int32)
+    row_ovf = np.zeros(B, dtype=bool)
+    thresh = emit_threshold_table(0.6, L)
+
+    import jax.numpy as jnp
+
+    def run(key_mat):
+        out = finish_from_keys(
+            jnp.asarray(key_mat), jnp.asarray(length), thresh,
+            jnp.asarray(row_ovf), meta=meta, max_winners=4, L=L,
+        )
+        return [np.asarray(o) for o in out]
+
+    # width 12288: HB=14, k*width = 368640 >= 2^17 -> unpacked fallback
+    wide = np.full((B, 12288), sentinel, dtype=np.uint32)
+    wide[:, : keys.shape[1]] = keys
+    got_narrow = run(keys)
+    got_wide = run(wide)
+    for a, b in zip(got_narrow, got_wide):
+        np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.parametrize("members", [12, 40])
 def test_row_compaction_light_batch(members):
     """Batches where every read has <= ROW_CAP deg>=3 windows take the
