@@ -60,15 +60,13 @@ from shark_tpu.classify.step import (
     TAG_D2,
     TAG_ROW,
     StaticMeta,
-    _mod_size,
+    bloom_positions,
     finish_from_tags,
     take_rows,
     unpack_codes,
 )
-from shark_tpu.ops.kmers import INVALID
 from shark_tpu.index.structure import SharkIndex
-from shark_tpu.ops.kmers import canonical_kmers_jax
-from shark_tpu.ops.xxh64 import xxh64_u64
+from shark_tpu.ops.kmers import INVALID
 
 BUCKET_SLOTS = 8
 STASH_CAP = 256
@@ -303,15 +301,9 @@ def classify_kernel_hashed(
     slicing costs ~1.6 ms/batch vs ~20 ms for strided lane slices of an
     interleaved row; building keys directly skips the ~17 ms synthetic
     [B, Ls, D+1] gene-row materialization."""
-    B, L = codes.shape
-    k = meta.k
+    L = codes.shape[1]
 
-    canon, win_valid = canonical_kmers_jax(codes, k)
-    s = min(k - 1, L - 1)
-    canon = (canon[0][:, s:], canon[1][:, s:])
-    win_valid = win_valid[:, s:]
-    h = xxh64_u64(canon)
-    idx_hi, idx_lo = _mod_size(h, meta.size_bits)
+    idx_hi, idx_lo, win_valid = bloom_positions(codes, meta)
     length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
 
     lgB = hmeta.lgB

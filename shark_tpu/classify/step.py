@@ -506,6 +506,16 @@ def hash_positions(codes: jnp.ndarray, meta: StaticMeta):
 
     The per-window canonical-kmer -> XXH64 -> mod -> (word, bit) address
     computation, shared by the replicated and sharded probe paths."""
+    idx_hi, idx_lo, win_valid = bloom_positions(codes, meta)
+    word_idx = ((idx_hi << 27) | (idx_lo >> 5)).astype(jnp.int32)
+    return word_idx, idx_lo & 31, win_valid
+
+
+def bloom_positions(codes: jnp.ndarray, meta: StaticMeta):
+    """codes [B, L] -> (idx_hi u32[B,Ls], idx_lo u32[B,Ls], win_valid
+    bool[B,Ls]): the bit-exactness-critical window-slice + canonical-kmer
+    + XXH64 + mod-size front end, shared by every probe layout (classic
+    word/bit addressing above; the hashed kernel's bucket/rest split)."""
     k = meta.k
     canon, win_valid = canonical_kmers_jax(codes, k)
     s = min(k - 1, codes.shape[1] - 1)
@@ -513,8 +523,7 @@ def hash_positions(codes: jnp.ndarray, meta: StaticMeta):
     win_valid = win_valid[:, s:]
     h = xxh64_u64(canon)
     idx_hi, idx_lo = _mod_size(h, meta.size_bits)
-    word_idx = ((idx_hi << 27) | (idx_lo >> 5)).astype(jnp.int32)
-    return word_idx, idx_lo & 31, win_valid
+    return idx_hi, idx_lo, win_valid
 
 
 def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

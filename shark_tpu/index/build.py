@@ -44,6 +44,10 @@ def build_index(
     """records: iterable of (name, sequence bytes) in file order."""
     if size_bits <= 0 or size_bits % 64 != 0:
         raise ValueError("size_bits must be a positive multiple of 64")
+    if not (1 <= k <= 31):
+        # the reference limit (argument_parser.hpp:115); k >= 32 would
+        # silently overflow the 2-bit-per-base uint64 k-mer encoding
+        raise ValueError("k must be in the range [1, 31]")
     gene_names = []
     per_gene_idx = []
     per_gene_count = []

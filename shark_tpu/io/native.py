@@ -43,9 +43,15 @@ def get_lib():
     with _lib_lock:
         if _lib is not None:
             return _lib or None
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-            _SRC
-        ):
+        try:
+            stale = not os.path.exists(_SO) or os.path.getmtime(
+                _SO
+            ) < os.path.getmtime(_SRC)
+        except OSError:
+            # source missing (prebuilt-.so deployment): use the .so if it
+            # exists; available() must return a bool, never raise
+            stale = not os.path.exists(_SO)
+        if stale:
             if not _build():
                 _lib = False
                 return None
@@ -277,6 +283,9 @@ def build_index_native(
         return None
     from shark_tpu.index.structure import SharkIndex
 
+    if not (1 <= k <= 31):
+        # reference limit (argument_parser.hpp:115); matches build_index
+        raise ValueError("k must be in the range [1, 31]")
     if threads is None:
         threads = min(4, os.cpu_count() or 1)
     h = lib.shk_build(fasta_path.encode(), k, size_bits, max(1, threads))

@@ -726,14 +726,24 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
              const int32_t* gene_idx, int n_assoc) {
   Stream* s = (Stream*)h;
   Batch& b = s->ring[slot];
+  // validate EVERY index before writing anything: a mid-loop failure
+  // would leave the FASTQ outputs holding part of the batch with its ssv
+  // lines dropped (inconsistent outputs), and the pinned slot would
+  // eventually exhaust the ring with a misleading error far from the
+  // real cause
+  for (int i = 0; i < n_assoc; i++) {
+    if (read_idx[i] < 0 || read_idx[i] >= b.n || gene_idx[i] < 0 ||
+        gene_idx[i] >= (int)s->gene_names.size()) {
+      shk_release(h, slot);
+      return -1;
+    }
+  }
   int prev = -1;
   std::string& line = s->ssv_buf;  // one big fwrite per batch
   line.clear();
   for (int i = 0; i < n_assoc; i++) {
     int r = read_idx[i];
     int g = gene_idx[i];
-    if (r < 0 || r >= b.n || g < 0 || g >= (int)s->gene_names.size())
-      return -1;
     const Record& rec = b.r1[r];
     line.append(rec.name);
     line.push_back(' ');

@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from typing import NamedTuple
 
 from shark_tpu.classify.step import (
+    MAX_SIZE_BITS,
     StaticMeta,
     emit_threshold_table,
     finish_kernel,
@@ -227,7 +228,27 @@ class ShardedBFClassifier:
         self.c = c
         self.mesh = mesh or make_mesh(n_devices)
         self.axis = self.mesh.axis_names[0]
-        self.n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        # sharding, all_to_all, and the shard count all live on axis 0; a
+        # second non-trivial axis would split the shards 2-per-group and
+        # silently answer probes from the wrong half — reject it
+        for a in self.mesh.axis_names[1:]:
+            if self.mesh.shape[a] != 1:
+                raise ValueError(
+                    "sharded-BF mode requires a single-axis mesh (axis "
+                    f"{a!r} has size {self.mesh.shape[a]})"
+                )
+        self.n = int(self.mesh.shape[self.axis])
+        # the probe front end packs the GLOBAL bloom word index into int32
+        # (hash_positions), so the total index size is capped regardless
+        # of device count; fail here with an honest message instead of a
+        # circular "use the sharded-BF mode" from the first batch
+        if index.size_bits > MAX_SIZE_BITS:
+            raise ValueError(
+                f"Bloom filter ({index.size_bits} bits) exceeds the probe "
+                f"front end's int32 word addressing ({MAX_SIZE_BITS} bits) "
+                "— the sharded-BF mode shards HBM footprint, not the "
+                "address space"
+            )
         self.slack = slack  # None = adaptive binomial-tail cap
         self.cap_mult = 1.0  # grown by reprobe() after an overflow
         bf_ranks, gene_mats, self.wps, self.D = shard_index(index, self.n)
@@ -279,8 +300,14 @@ class ShardedBFClassifier:
             cap0 = self._probe_cap(B // self.n, L)
             attempts = max(1, int(np.ceil(np.log2(total / cap0))) + 1)
         result = None
-        for _ in range(attempts):
-            self.grow_cap()
+        for retry in range(attempts + 1):
+            # first pass retries at the CURRENT cap: with ~8 batches in
+            # flight, one overflow burst makes every queued batch call
+            # reprobe(), and growing unconditionally would compound the
+            # cap 2^8x (each doubling = a jit cache flush + a 10-15s
+            # remote recompile) when the first growth already sufficed
+            if retry > 0:
+                self.grow_cap()
             result = (
                 self.call_packed(*codes)
                 if isinstance(codes, tuple)

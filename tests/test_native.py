@@ -337,13 +337,20 @@ def test_native_build_fastq_reference_matches_python(tmp_path):
 def test_native_build_size_bits_guard(example_dir):
     """The native builder must reject the sizes the Python builder rejects
     (a non-multiple of 32 would write past the bf_words buffer; 0 would
-    divide by zero in the hash modulo)."""
+    divide by zero in the hash modulo), and the k range both builders
+    encode in 2 bits/base (k >= 32 silently overflows the uint64 k-mer)."""
+    from shark_tpu.index.build import build_index
     from shark_tpu.io.native import build_index_native
 
     fa = str(example_dir / "ENSG00000277117.fa")
     for bad in (0, 100, 96):
         with pytest.raises(ValueError, match="multiple of 64"):
             build_index_native(fa, 17, bad)
+    for bad_k in (0, 32):
+        with pytest.raises(ValueError, match="range"):
+            build_index_native(fa, bad_k, 1 << 14)
+        with pytest.raises(ValueError, match="range"):
+            build_index([("g", b"ACGT" * 20)], bad_k, 1 << 14)
 
 
 def test_ring_exhaustion_is_an_error(example_dir):

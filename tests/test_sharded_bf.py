@@ -37,6 +37,34 @@ def workload():
     return index, codes
 
 
+def test_sharded_rejects_multi_axis_mesh(workload):
+    """Sharding/all_to_all live on mesh axis 0 only; a second non-trivial
+    axis would silently answer probes from the wrong half-shard."""
+    import jax
+    from jax.sharding import Mesh
+
+    from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
+
+    index, _ = workload
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    with pytest.raises(ValueError, match="single-axis mesh"):
+        ShardedBFClassifier(index, mesh=Mesh(devs, ("dp", "tp")))
+
+
+def test_sharded_rejects_oversized_filter(workload):
+    """The probe front end packs the GLOBAL word index into int32; the
+    sharded mode must say so up front, not raise a circular 'use the
+    sharded-BF mode' from the first batch."""
+    from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
+
+    from dataclasses import replace
+
+    index, _ = workload
+    big = replace(index, size_bits=1 << 37)
+    with pytest.raises(ValueError, match="int32 word addressing"):
+        ShardedBFClassifier(big, n_devices=8)
+
+
 def test_shard_index_partition(workload):
     from shark_tpu.parallel.sharded_bf import shard_index
 
