@@ -51,10 +51,47 @@ N_PAIRS = 250_000
 READ_LEN = 100
 MAX_LEN = 104  # tightest %8 padding for 100bp reads: 88 probe windows
 PAIR_MAX_LEN = 208  # 100 + 1 + 100 fused, padded to %8
-# Measured XLA gather issue ceiling on v5e for the hashed probe layout
-# (bench/hash_gather_bench.py); probes/s beyond ~this rate means the probe
-# gather is no longer the bottleneck. Cross-session +-40%.
+# Fallback XLA gather issue ceiling on v5e for the hashed probe layout
+# (bench/hash_gather_bench.py), used only if the in-session measurement
+# below fails; cross-session +-40% is exactly why pct_gather_ceiling is
+# derived from measure_gather_ceiling() when possible.
 GATHER_CEILING_ROWS_S = 130e6
+
+
+def measure_gather_ceiling() -> float:
+    """In-session rows/s of the hashed probe table's exact gather shape
+    (u32[2^19, 8] bucket rows, one 64k-batch worth of flat indices) on the
+    serving device — the measured kernel ceiling pct_gather_ceiling is
+    derived from, replacing the old hardcoded cross-session constant.
+    ~2s including compile. Timing is fetch-based (block_until_ready does
+    not block on the tunneled platform, CLAUDE.md)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    n_rows = 1 << 19  # 16 MB — the production entry16 table scale
+    n_idx = 65536 * (MAX_LEN - K + 1)  # one batch of probe windows
+    rng = np.random.default_rng(7)
+    table = jax.device_put(np.zeros((n_rows, 8), np.uint32))
+    idx = jax.device_put(
+        rng.integers(0, n_rows, size=n_idx, dtype=np.int64).astype(np.int32)
+    )
+    g = jax.jit(lambda t, i: jnp.take(t, i, axis=0).sum(axis=0))
+    floor_f = jax.jit(lambda i: i.sum())
+    np.asarray(g(table, idx))  # compile + warm
+    np.asarray(floor_f(idx))
+    floor = []
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(floor_f(idx))
+        floor.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(g(table, idx))
+        rates.append(time.perf_counter() - t0)
+    dt = max(min(rates) - min(floor), 1e-9)
+    return n_idx / dt
 
 
 def log(msg: str) -> None:
@@ -290,6 +327,16 @@ def main() -> None:
             f"tpu={ours['n_associations']} baseline={base['n_associations']}"
         )
 
+    # In-session gather ceiling (device is warm after the first TPU run);
+    # re-measured in the second weather window, best wins — the ratio
+    # should reflect the session's actual hardware rate, not a constant.
+    ceiling = [GATHER_CEILING_ROWS_S, False]  # rows/s, measured?
+    try:
+        ceiling[:] = [measure_gather_ceiling(), True]
+        log(f"measured gather ceiling: {ceiling[0]/1e6:.1f}M rows/s")
+    except Exception as e:  # noqa: BLE001 - fall back to the constant
+        log(f"WARNING: gather-ceiling measurement failed: {e}")
+
     def primary_out(best):
         value = best["n_reads"] / best["classify_s"]
         probes_s = value * (MAX_LEN - K + 1)
@@ -299,9 +346,7 @@ def main() -> None:
             "unit": "reads/s",
             "vs_baseline": round(value / base["reads_per_sec"], 3),
             "probes_per_sec": round(probes_s, 0),
-            "pct_gather_ceiling": round(
-                100 * probes_s / GATHER_CEILING_ROWS_S, 1
-            ),
+            "pct_gather_ceiling": round(100 * probes_s / ceiling[0], 1),
         }
 
     out = primary_out(ours)
@@ -393,14 +438,29 @@ def main() -> None:
     # best-of-3 passes of one visit run back-to-back inside ~10s — a
     # blackout swallows them all. A re-visit ~20 min later makes the
     # artifact the best of two windows (the single-end one runs even under
-    # BENCH_PRIMARY_ONLY). The baseline is NOT re-visited: a slow baseline
-    # only inflates the ratio, never deflates it.
+    # BENCH_PRIMARY_ONLY). The CPU BASELINES are re-visited SYMMETRICALLY
+    # and their best wins too: a baseline that caught a blackout in window
+    # one would otherwise inflate every ratio (a one-sided "best of two
+    # windows" is exactly the asymmetry the round-2 review flagged).
     try:
         if not over_budget("single-end re-visit"):
             ours2 = run_tpu(fasta, fastq)
             if ours2["classify_s"] < ours["classify_s"]:
                 log("re-visit improved the single-end number; using it")
-                out.update(primary_out(ours2))
+                ours = ours2
+            try:
+                c2 = measure_gather_ceiling()
+                if ceiling[1]:
+                    ceiling[0] = max(ceiling[0], c2)
+                else:
+                    ceiling[:] = [c2, True]
+            except Exception:  # noqa: BLE001 - keep window-1 ceiling
+                pass
+            base2 = run_baseline(fasta, fastq, best_of=2)
+            if base2["reads_per_sec"] > base["reads_per_sec"]:
+                log("re-visit improved the single-end BASELINE; using it")
+                base = base2
+            out.update(primary_out(ours))
         if base_p is not None and not over_budget("paired re-visit"):
             ours_p2 = run_tpu(
                 fasta, fq_p1, fastq2=fq_p2, max_len=PAIR_MAX_LEN
@@ -409,21 +469,32 @@ def main() -> None:
             if v_p2 > out.get("paired_reads_per_sec", 0):
                 log("re-visit improved the paired number; using it")
                 out["paired_reads_per_sec"] = round(v_p2, 1)
-                out["paired_vs_baseline"] = round(
-                    v_p2 / base_p["reads_per_sec"], 3
-                )
+            base_p2 = run_baseline(fasta, fq_p1, fastq2=fq_p2, best_of=1)
+            if base_p2["reads_per_sec"] > base_p["reads_per_sec"]:
+                log("re-visit improved the paired BASELINE; using it")
+                base_p = base_p2
+            out["paired_vs_baseline"] = round(
+                out["paired_reads_per_sec"] / base_p["reads_per_sec"], 3
+            )
         if base_q is not None and not over_budget("q10 re-visit"):
             ours_q2 = run_tpu(fasta, fastq_q, minq=10)
             v_q2 = ours_q2["n_reads"] / ours_q2["classify_s"]
             if v_q2 > out.get("q10_reads_per_sec", 0):
                 log("re-visit improved the q10 number; using it")
                 out["q10_reads_per_sec"] = round(v_q2, 1)
-                out["q10_vs_baseline"] = round(
-                    v_q2 / base_q["reads_per_sec"], 3
-                )
+            base_q2 = run_baseline(fasta, fastq_q, minq=10, best_of=1)
+            if base_q2["reads_per_sec"] > base_q["reads_per_sec"]:
+                log("re-visit improved the q10 BASELINE; using it")
+                base_q = base_q2
+            out["q10_vs_baseline"] = round(
+                out["q10_reads_per_sec"] / base_q["reads_per_sec"], 3
+            )
     except Exception as e:  # noqa: BLE001 - keep first-visit numbers
         log(f"WARNING: re-visit failed, keeping first-visit numbers: {e}")
 
+    out["baseline_reads_per_sec"] = round(base["reads_per_sec"], 1)
+    out["gather_ceiling_rows_s"] = round(ceiling[0], 0)
+    out["gather_ceiling_measured"] = ceiling[1]
     print(json.dumps(out))
 
 

@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write associations to this file instead of stdout")
     p.add_argument("--no-native", action="store_true",
                    help="disable the native C++ host I/O engine")
+    p.add_argument("--probe", default="auto",
+                   choices=("auto", "hashed", "classic"),
+                   help="probe-path selection: auto (default) uses the "
+                        "hashed one-gather table when buildable; classic "
+                        "forces the two-gather layout (correct at any "
+                        "scale); hashed fails fast if not buildable")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--resume", action="store_true",
@@ -118,6 +124,7 @@ def config_from_args(args: argparse.Namespace) -> SharkConfig:
         load_index=args.load_index,
         ssv_path=args.ssv_path,
         use_native=not args.no_native,
+        probe=args.probe,
         profile_dir=args.profile_dir,
         resume=args.resume,
     )

@@ -352,6 +352,12 @@ struct Stream {
   long n_associations = 0;
   long n_reads_out = 0;
   std::string err;
+  // batch id of a latched ENCODER error (-1 = err is empty or came from a
+  // non-encoder site): with several encoder threads, batch N+2's failure
+  // can publish before batch N's slower one, and the consumer — which
+  // fails at the lowest bad batch — would read a message describing a
+  // different batch. Lowest-batch-id wins among encoder errors.
+  long err_batch_id = -1;
 };
 
 void encode_into(const Record& r, uint8_t* dst, int cap, int off,
@@ -524,7 +530,12 @@ void encoder_loop(Stream* s) {
     int n = encode_batch_rows(s, b, err);
     {
       std::unique_lock<std::mutex> lk(s->mu);
-      if (!err.empty() && s->err.empty()) s->err = err;
+      if (!err.empty() &&
+          (s->err.empty() ||
+           (s->err_batch_id >= 0 && id < s->err_batch_id))) {
+        s->err = err;
+        s->err_batch_id = id;
+      }
       b.state = Batch::FILLED;
       s->cv_filled.notify_all();
       // the EOF/error batch ends this thread; peers sleep on cv_parsed

@@ -166,6 +166,16 @@ def _winner_pairs(
     if len(result) > 4:  # sharded-BF routing overflow counter
         ovf = int(np.asarray(result[4]).sum())
         if ovf and reprobe is not None:
+            # DOCUMENTED EXCEPTION to "never issue device work from the
+            # drain thread" (docs/PERF.md): this reprobe dispatch (and a
+            # possible grow_cap recompile) runs on the drain side. It can
+            # only fire on sharded-BF routing overflow, which the adaptive
+            # binomial cap keeps at zero for uniform XXH64 hashing — a
+            # correctness escape, not a steady-state path; retry-at-
+            # current-cap bounds the recompiles. Moving it to the dispatch
+            # thread would mean replaying an arbitrary batch out of order
+            # through the ordered native emit path for a case that never
+            # fires in practice.
             print(
                 f"[shark-tpu] routing overflow ({ovf} probes), retrying "
                 "batch with a larger cap",
@@ -621,6 +631,7 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
         "classify_s": elapsed - warm_s,
         "native": True,
         "fetch_groups": n_groups[0],
+        "probe": getattr(classifier, "probe", "sharded"),
     }
     if reads_done0:
         stats["resumed_reads"] = reads_done0
@@ -853,11 +864,14 @@ def _run_pipeline_inner(
         index = load_or_build_index(cfg, timer)
     index_s = timer.elapsed()
 
+    probe = None if cfg.probe == "auto" else cfg.probe
     if classifier is not None:
         pass
     elif cfg.sharded_bf:
         from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
 
+        # the sharded layout routes probes to owning shards; the
+        # hashed/classic selection is a replicated-index concept
         classifier = ShardedBFClassifier(
             index, max_winners=cfg.max_winners, c=cfg.c, n_devices=cfg.devices
         )
@@ -865,10 +879,13 @@ def _run_pipeline_inner(
         from shark_tpu.parallel.data_parallel import DataParallelClassifier
 
         classifier = DataParallelClassifier(
-            index, max_winners=cfg.max_winners, c=cfg.c, n_devices=cfg.devices
+            index, max_winners=cfg.max_winners, c=cfg.c,
+            n_devices=cfg.devices, probe=probe,
         )
     else:
-        classifier = Classifier(index, max_winners=cfg.max_winners, c=cfg.c)
+        classifier = Classifier(
+            index, max_winners=cfg.max_winners, c=cfg.c, probe=probe
+        )
 
     if cfg.use_native and ssv_stream is None:
         from shark_tpu.io import native as native_mod
@@ -878,7 +895,17 @@ def _run_pipeline_inner(
             mf = join_scan()
             if mf > AUTO_NATIVE_MAX_LEN:
                 # one long read would pad EVERY fixed-geometry batch to its
-                # length; the Python path pads per batch instead
+                # length; the Python path pads per batch instead. Say so:
+                # the Python path is an order of magnitude slower and the
+                # silent switch otherwise looks like an unexplained stall.
+                print(
+                    f"[shark-tpu] longest fused read ({mf}) exceeds the "
+                    f"native engine's auto-length ceiling "
+                    f"({AUTO_NATIVE_MAX_LEN}); using the slower per-batch-"
+                    "padded Python path (set --max-read-len to force the "
+                    "native engine)",
+                    file=sys.stderr,
+                )
                 mf = 0
             if mf > 0:
                 native_len = _round_len(mf, cfg.k)
@@ -974,4 +1001,5 @@ def _run_pipeline_inner(
         "index_s": index_s,
         "warmup_s": warm_s - index_s,
         "classify_s": elapsed - warm_s,
+        "probe": getattr(classifier, "probe", "sharded"),
     }

@@ -135,3 +135,13 @@ def test_missing_input_file_fails_fast(tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         run_pipeline(cfg)
+
+
+def test_probe_flag():
+    assert _cfg(BASE).probe == "auto"
+    assert _cfg(BASE + ["--probe", "classic"]).probe == "classic"
+    assert _cfg(BASE + ["--probe", "hashed"]).probe == "hashed"
+    with pytest.raises(SystemExit):  # argparse choices reject unknowns
+        _cfg(BASE + ["--probe", "fast"])
+    with pytest.raises(ValueError, match="probe"):
+        SharkConfig(probe="fast").validate()

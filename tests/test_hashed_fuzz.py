@@ -1,0 +1,216 @@
+"""Property-fuzz of the hashed probe-table builder's geometry edges.
+
+The packer (classify/hashed._pack_table) is the one bit-exactness-critical
+component whose edge cases were previously covered only by construction-time
+asserts: lgB families, entry16 (4-byte slots, two-word degree-2/row entries)
+vs entry8 (planar 64-byte buckets), spill-stash partitioning near the
+SMALL_STASH/STASH_CAP limits, and the 14-bit/30-bit rest boundaries.
+
+Two layers:
+  * `_pack_table` fuzz against a numpy emulation of the kernel's exact
+    match semantics (classify/hashed.classify_kernel_hashed lanes), on
+    synthetic (pos, tag, payload) sets that force bucket pileups and sit
+    at the rest-width boundaries;
+  * whole-index fuzz: random indexes across entry16/entry8/heavy-collision
+    regimes, asserting the hashed kernel's verdicts equal the classic
+    two-gather kernel bit for bit.
+"""
+
+import numpy as np
+import pytest
+
+from shark_tpu.classify.hashed import (
+    BUCKET_SLOTS,
+    SMALL_STASH,
+    HashedMeta,
+    _pack_table,
+    _pad_stash,
+    build_hashed_index,
+)
+from shark_tpu.classify.step import (
+    MAX_SIZE_BITS,
+    TAG_D1,
+    TAG_D2,
+    TAG_ROW,
+    Classifier,
+)
+from shark_tpu.index.build import build_index
+from shark_tpu.ops.kmers import encode_bytes
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _emulate_lookup(table, stash, entry16, slots, lgB, p):
+    """(tag, payload) the device kernel would produce for position p —
+    the exact lane-match semantics of classify_kernel_hashed, in numpy."""
+    bucket = int(p) & ((1 << lgB) - 1)
+    rest = int(p) >> lgB
+    tag, pay = 0, 0
+    row = table[bucket]
+    if entry16:
+        metas = (row >> 16).astype(np.int64)
+        pays = (row & 0xFFFF).astype(np.int64)
+        m = ((metas & 0x3FFF) == (rest & 0x3FFF)) & ((metas >> 14) != 0)
+        # the kernel trusts rest to fit 14 bits (build guarantees it)
+        assert rest < (1 << 14)
+        if m.any():
+            fs = int(np.flatnonzero(m)[0])
+            p0 = int(pays[fs])
+            p1 = int(pays[m & (np.arange(slots) > fs)].sum())
+            tag = int((metas[m] >> 14).max())
+            pay = p0 | (p1 << 16)
+    else:
+        w0 = row[0].astype(np.int64)
+        w1 = row[1].astype(np.int64)
+        m = ((w0 & 0x3FFFFFFF) == rest) & ((w0 >> 30) != 0)
+        assert rest < (1 << 30)
+        if m.any():
+            tag = int((w0[m] >> 30).sum())
+            pay = int(w1[m].sum())
+    sm = (stash[:, 0].astype(np.int64) == (int(p) & 0xFFFFFFFF)) & (
+        stash[:, 1].astype(np.int64) == (int(p) >> 32)
+    )
+    tag += int(stash[sm, 2].astype(np.int64).sum())
+    pay += int(stash[sm, 3].astype(np.int64).sum())
+    return tag, pay
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_pack_table_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    entry16 = seed % 2 == 0
+    slots = BUCKET_SLOTS
+    lgB = int(rng.integers(6, 13))
+    rest_bits = 14 if entry16 else 30
+    # sit at / near the rest-width boundary (capped at the kernel's
+    # position-space limit so stash padding can never alias a real pos)
+    size = min(
+        (1 << lgB) << int(rng.integers(rest_bits - 2, rest_bits + 1)),
+        MAX_SIZE_BITS,
+    )
+    n = int(rng.integers(64, 2048))
+    pos = rng.integers(0, size, size=n, dtype=np.uint64)
+    # pile a third of the entries onto a handful of buckets to force
+    # spills (stash occupancy well past a bucket's capacity)
+    mask = np.uint64((1 << lgB) - 1)
+    third = n // 3
+    hot = rng.integers(0, 1 << lgB, size=3, dtype=np.uint64)
+    pos[:third] = (pos[:third] & ~mask) | hot[
+        rng.integers(0, 3, size=third)
+    ]
+    pos = np.unique(pos)
+    n = pos.size
+    tag = rng.integers(1, 4, size=n).astype(np.int64)
+    payload = np.where(
+        tag == TAG_D1,
+        rng.integers(0, 1 << 16, size=n),
+        rng.integers(0, 1 << 32, size=n, dtype=np.int64),
+    ).astype(np.uint32)
+    need = np.where(tag == 1, 1, 2).astype(np.int64) if entry16 else None
+
+    table, stash_rows = _pack_table(
+        pos, tag, payload, need, lgB, entry16, slots
+    )
+    assert stash_rows.shape[0] > 0, "fuzz config failed to force spills"
+    stash = _pad_stash(stash_rows)
+    assert stash.shape[0] >= stash_rows.shape[0]
+    assert (stash.shape[0] & (stash.shape[0] - 1)) == 0  # pow2 padded
+
+    # every input position resolves to exactly its (tag, payload)
+    for i in range(n):
+        got = _emulate_lookup(table, stash, entry16, slots, lgB, pos[i])
+        assert got == (int(tag[i]), int(payload[i])), (i, hex(int(pos[i])))
+
+    # absent positions (same bucket universe) must miss
+    miss = rng.integers(0, size, size=256, dtype=np.uint64)
+    miss = miss[~np.isin(miss, pos)]
+    for p in miss:
+        got = _emulate_lookup(table, stash, entry16, slots, lgB, p)
+        assert got == (0, 0), hex(int(p))
+
+    # stash rows + in-table entries partition the input set: each spilled
+    # position must NOT also match in the table (checked inside
+    # _emulate_lookup by tag arithmetic — a double entry would produce a
+    # tag sum > 3, caught by the exact equality above); here check counts
+    in_table = int((table != 0).sum())
+    if entry16:
+        expected_words = int(np.where(tag == 1, 1, 2).sum())
+    else:
+        # planar w0 is always nonzero for a live entry; w1 may be zero
+        # (payload 0), so count only the meta plane
+        in_table = int((table[:, 0, :] != 0).sum())
+        expected_words = n
+    assert in_table + (
+        int(np.where(tag[np.isin(pos, _stash_pos(stash_rows))] == 1, 1, 2).sum())
+        if entry16
+        else stash_rows.shape[0]
+    ) == expected_words
+
+
+def _stash_pos(stash_rows: np.ndarray) -> np.ndarray:
+    return stash_rows[:, 0].astype(np.uint64) | (
+        stash_rows[:, 1].astype(np.uint64) << np.uint64(32)
+    )
+
+
+def _random_records(rng, n_genes, gene_len, core_len=0):
+    """Random genes; core_len > 0 plants a shared core in half of them
+    (degree >= n/2 rows — rows3/group geometry stress)."""
+    core = BASES[rng.integers(0, 4, size=core_len)].tobytes() if core_len else b""
+    recs = []
+    for g in range(n_genes):
+        seq = BASES[rng.integers(0, 4, size=gene_len)].tobytes()
+        if core and g % 2 == 0:
+            mid = gene_len // 2
+            seq = seq[:mid] + core + seq[mid + core_len :]
+        recs.append((f"G{g}", seq))
+    return recs
+
+
+def _reads_codes(rng, records, n_reads, read_len, L):
+    codes = np.full((n_reads, L), 4, dtype=np.uint8)
+    for i in range(n_reads):
+        _, seq = records[rng.integers(0, len(records))]
+        start = int(rng.integers(0, max(1, len(seq) - read_len)))
+        arr = np.frombuffer(seq[start : start + read_len], np.uint8).copy()
+        mut = rng.random(arr.size) < 0.04
+        arr[mut] = rng.choice(
+            np.frombuffer(b"ACGTN", np.uint8), size=int(mut.sum())
+        )
+        codes[i, : arr.size] = encode_bytes(arr.tobytes())
+    return codes
+
+
+GEOMETRIES = [
+    # (size_bits, n_genes, gene_len, core_len, k) — regimes:
+    (1 << 16, 30, 500, 0, 11),    # dense Bloom collisions, entry16
+    (1 << 17, 60, 600, 80, 11),   # heavy load + shared core (rows3)
+    (1 << 20, 8, 300, 0, 17),     # sparse panel, entry16 small-lgB family
+    (1 << 28, 12, 400, 60, 17),   # size past every entry16 candidate -> entry8
+]
+
+
+@pytest.mark.parametrize("size_bits,n_genes,gene_len,core_len,k", GEOMETRIES)
+def test_hashed_vs_classic_geometry_fuzz(
+    size_bits, n_genes, gene_len, core_len, k
+):
+    rng = np.random.default_rng(size_bits % 97)
+    records = _random_records(rng, n_genes, gene_len, core_len)
+    index = build_index(records, k, size_bits)
+    built = build_hashed_index(index)
+    assert built is not None, "hashed table should build at these scales"
+    hmeta: HashedMeta = built[2]
+    if size_bits == 1 << 28:
+        assert not hmeta.entry16  # the 14-bit rest boundary forces entry8
+    else:
+        assert hmeta.entry16
+
+    codes = _reads_codes(rng, records, n_reads=192, read_len=90, L=96)
+    classic = Classifier(index, max_winners=24, probe="classic")
+    hashed = Classifier(index, max_winners=24, probe="hashed")
+    ref = [np.asarray(x) for x in classic(codes)]
+    got = [np.asarray(x) for x in hashed(codes)]
+    for name, a, b in zip(
+        ("packed", "winners", "best_cov", "length"), ref, got
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=name)

@@ -468,3 +468,21 @@ def test_native_pipeline_golden(example_dir, tmp_path):
     )
     assert stats["n_reads"] == 5000
     assert stats["fetch_groups"] == 3  # 5000/2048 -> 3 groups of 1
+    assert stats["probe"] == "hashed"  # auto-select at example scale
+
+
+@pytest.mark.slow
+def test_native_pipeline_classic_probe_golden(example_dir, tmp_path):
+    """--probe classic through the FULL native pipeline, byte-exact.
+
+    Auto-select always builds the hashed table at example scale, so the
+    two-gather classic layout — the escape hatch a real panel falls back
+    to when the hashed table declines, and what --probe classic forces —
+    needs its own pipeline-level golden pin (it is otherwise covered only
+    at kernel level)."""
+    stats = _run_native_golden(
+        example_dir, tmp_path, batch_size=2048, max_read_len=208,
+        probe="classic",
+    )
+    assert stats["probe"] == "classic"
+    assert stats["n_reads"] == 5000
