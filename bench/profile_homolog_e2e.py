@@ -57,7 +57,7 @@ def main():
     pk0, vm0, slot, n = ns0.next_batch()
     r = clf.call_packed(pk0, vm0)
     pk_np = np.asarray(r[0])
-    _winner_pairs(cfg, index, r, n, None, 16, packed_np=pk_np)
+    _winner_pairs(cfg, index, r, n, None, 16, packed_np=pk_np, groups=clf.groups)
     ns0.release(slot)
     ns0.close()
 
@@ -85,7 +85,7 @@ def main():
         t["fetch_packed"] += time.time() - t0
         t0 = time.time()
         ri, gi = _winner_pairs(
-            cfg, index, r, n, (pk, vm), 16, packed_np=pk_np
+            cfg, index, r, n, (pk, vm), 16, packed_np=pk_np, groups=clf.groups
         )
         t["winner_pairs"] += time.time() - t0
         t0 = time.time()

@@ -51,7 +51,7 @@ def serial_profile(tag, cfg, index, clf):
         t_fetch = time.time() - t0
         t0 = time.time()
         ri, gi = _winner_pairs(
-            cfg, index, r, n, (pk, vm), 16, packed_np=pk_np
+            cfg, index, r, n, (pk, vm), 16, packed_np=pk_np, groups=clf.groups
         )
         t_wp = time.time() - t0
         t0 = time.time()
@@ -92,7 +92,7 @@ def main():
     pk0, vm0, slot, n = ns0.next_batch()
     r = clf.call_packed(pk0, vm0)
     _winner_pairs(
-        cfg, index, r, n, (pk0, vm0), 16, packed_np=np.asarray(r[0])[:n]
+        cfg, index, r, n, (pk0, vm0), 16, packed_np=np.asarray(r[0])[:n], groups=clf.groups
     )
     ns0.release(slot)
     ns0.close()

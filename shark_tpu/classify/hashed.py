@@ -61,6 +61,7 @@ from shark_tpu.classify.step import (
     TAG_ROW,
     StaticMeta,
     bloom_positions,
+    compact_true_cols,
     finish_from_tags,
     take_rows,
     unpack_codes,
@@ -77,14 +78,38 @@ STASH_MIN = 32
 MAX_TABLE_BYTES = 64 << 20
 MAX_BUCKETS = MAX_TABLE_BYTES // (8 * BUCKET_SLOTS)
 
+# --- GB-scale "xl" layout (one gather past the 64 MB cliff) -------------
+# The cliff is a WIDE-row effect: narrow rows keep gathering fast at any
+# table size on v5e (bench/txome_gather.py: 2xu32 ~100M rows/s at 2.15 GB,
+# 4xu32 ~92M at 1 GB, while 64 B rows collapse to ~45M). So transcriptome-
+# scale indexes get a 16-byte-row variant: [n_buckets, 4] u32 with the
+# entry16 word format (4-byte slots, two-word degree-2/row entries), rest
+# narrowed to 13 bits (GB-scale bucket counts make p >> lgB small), and
+# bit 13 of slot 0's meta flagging "this bucket overflowed". Overflowing
+# entries land in a SIDE table (a small bucketed entry8 hash of their
+# own) probed only for flagged-and-unmatched windows, compacted to
+# XL_SIDE_CAP columns per read under a batch-level cond — so the common
+# case pays exactly ONE gather per window instead of the classic path's
+# two dependent ones (bf_rank -> pay).
+XL_SLOTS = 4
+XL_REST_BITS = 13
+XL_FLAG_BIT = 29  # u32 bit of slot-0's word: bucket-overflow flag
+XL_SIDE_CAP = 16  # compacted side-lookup columns per read
+XL_SIDE_STASH_CAP = 128
+XL_MAX_LGB = 30
+
 
 class HashedDeviceIndex(NamedTuple):
     # entry16: uint32[n_buckets, slots] (meta16<<16 | pay16 per word);
-    # entry8:  uint32[n_buckets, 2, BUCKET_SLOTS] (w0 plane, w1 plane)
+    # entry8:  uint32[n_buckets, 2, BUCKET_SLOTS] (w0 plane, w1 plane);
+    # xl:      uint32[n_buckets, XL_SLOTS] (entry16 words, 13-bit rest,
+    #          flag bit; spills resolve through `side`/`side_stash`)
     table: jnp.ndarray
     stash: jnp.ndarray  # uint32[S, 4]: pos_lo, pos_hi, tag, payload
     rows3: jnp.ndarray  # uint16[max(n_deg3,1), D3+1] compacted deg>=3 rows
     ext_mat: Optional[jnp.ndarray] = None
+    side: Optional[jnp.ndarray] = None  # xl spill table (entry8 buckets)
+    side_stash: Optional[jnp.ndarray] = None  # uint32[S2, 4]
 
 
 @dataclass(frozen=True)
@@ -93,6 +118,9 @@ class HashedMeta:
     has_rows: bool  # any degree >= 3 entry exists (enables the cond path)
     entry16: bool = False  # 4-byte entries (one u32 word each) vs 8-byte
     slots: int = BUCKET_SLOTS  # entry slots per bucket (entry16: 4 or 8)
+    xl: bool = False  # GB-scale 16-byte-row layout with a spill side table
+    side_lgB: int = 0  # log2 bucket count of the xl side table
+    has_side: bool = False  # any xl spill exists (enables the side cond)
 
 
 def _set_bit_positions(index: SharkIndex) -> np.ndarray:
@@ -108,6 +136,30 @@ def _set_bit_positions(index: SharkIndex) -> np.ndarray:
     pos = np.concatenate(parts) if parts else np.empty(0, np.uint64)
     pos.sort()
     return pos
+
+
+def _entry_streams(index: SharkIndex):
+    """(pos, tag, payload, has_rows, deg): one (tag, payload) entry per set
+    Bloom position in CSR rank order — the shared input of every hashed
+    table layout. Tag semantics per step.TAG_*; tag-3 payloads index the
+    COMPACTED deg>=3 row table (build_rows3), not the global CSR rank."""
+    pos = _set_bit_positions(index)
+    deg = np.diff(index.offsets).astype(np.int64)
+    off = index.offsets[:-1].astype(np.int64)
+    gene_ids = np.asarray(index.gene_ids)
+    first_gene = gene_ids[np.minimum(off, gene_ids.size - 1)].astype(np.uint32)
+
+    tag = np.where(deg == 1, TAG_D1, np.where(deg == 2, TAG_D2, TAG_ROW))
+    payload = first_gene.copy()
+    d2 = deg == 2
+    if d2.any():
+        payload[d2] |= gene_ids[off[d2] + 1].astype(np.uint32) << 16
+    d3 = deg >= 3
+    if d3.any():
+        from shark_tpu.classify.step import rows3_payload
+
+        payload[d3] = rows3_payload(index)  # rows3 index (+ gid bits)
+    return pos, tag, payload, bool(d3.any()), deg
 
 
 def build_hashed_index(
@@ -144,24 +196,8 @@ def build_hashed_index(
     if n_set >= 1 << 31:
         return None  # int32 gene_mat addressing for TAG_ROW ranks
 
-    pos = _set_bit_positions(index)
+    pos, tag, payload, has_rows, deg = _entry_streams(index)
     assert pos.size == n_set
-    deg = np.diff(index.offsets).astype(np.int64)
-    off = index.offsets[:-1].astype(np.int64)
-    gene_ids = np.asarray(index.gene_ids)
-    first_gene = gene_ids[np.minimum(off, gene_ids.size - 1)].astype(np.uint32)
-
-    tag = np.where(deg == 1, TAG_D1, np.where(deg == 2, TAG_D2, TAG_ROW))
-    payload = first_gene.copy()
-    d2 = deg == 2
-    if d2.any():
-        payload[d2] |= gene_ids[off[d2] + 1].astype(np.uint32) << 16
-    d3 = deg >= 3
-    if d3.any():
-        # index into the COMPACTED deg>=3 row table (build_rows3), not the
-        # global CSR rank — the wide rows exist only for these k-mers
-        payload[d3] = np.arange(int(d3.sum()), dtype=np.uint32)
-    has_rows = bool(d3.any())
 
     need16 = np.where(deg == 1, 1, 2).astype(np.int64)
     slots16 = int(need16.sum())
@@ -221,6 +257,118 @@ def build_hashed_index(
     return None
 
 
+def build_hashed_xl(
+    index: SharkIndex,
+    lgB: Optional[int] = None,
+    side_lgB: Optional[int] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, HashedMeta]]:
+    """(table, side, side_stash, meta) for the GB-scale one-gather layout,
+    or None when the classic path should be used instead.
+
+    Sizing: buckets hold XL_SLOTS u32 words; entry slot demand is 1 word
+    per degree-1 entry and 2 for degree>=2 (payload halves, like entry16).
+    The natural bucket count puts ~1-2 demand words per 4-slot bucket —
+    Poisson spill mass <= ~1.5% of entries — and the spilled minority goes
+    to a SIDE entry8 table probed only for flagged-and-unmatched windows
+    (compacted, batch-level cond), so per-window cost stays one 16-byte
+    gather. `lgB`/`side_lgB` pin the geometries for A/B tests and fuzzing.
+
+    Replaces bloomfilter.h:78-102's rank->select walk at transcriptome
+    scale with the same observable membership/association answers."""
+    n_set = index.n_set_bits
+    if n_set == 0 or n_set >= 1 << 31:
+        return None
+    pos, tag, payload, has_rows, deg = _entry_streams(index)
+    need = np.where(deg == 1, 1, 2).astype(np.int64)
+    demand = int(need.sum())
+
+    lg_min = max(
+        6, int(np.ceil(np.log2(index.size_bits))) - XL_REST_BITS
+    )
+    if lg_min > XL_MAX_LGB:
+        return None  # bloom too large for 13-bit rest at any bucket count
+    if lgB is not None:
+        cands = [lgB]
+    else:
+        lg_nat = int(np.ceil(np.log2(max(demand, 2))))
+        cands = sorted(
+            {
+                min(max(c, lg_min), XL_MAX_LGB)
+                for c in (lg_nat - 1, lg_nat)
+            }
+        )
+    if len(cands) > 1:
+        # choose the bucket count from a cheap slot-demand bound (one
+        # bincount per candidate) so the expensive exact pack runs ONCE:
+        # take the smallest table whose overflow bound stays ~1.5%
+        spill_cap = max(n_set // 64, 1024)
+        for c in cands:
+            demand_c = np.bincount(
+                (pos & np.uint64((1 << c) - 1)).astype(np.int64),
+                weights=need.astype(np.float64),
+                minlength=1 << c,
+            )
+            bound = int((demand_c - XL_SLOTS).clip(min=0).sum())
+            if bound <= 2 * spill_cap or c == cands[-1]:
+                cands = [c]
+                break
+    lgB = cands[0]
+    # bit 13 of meta16 is the overflow flag, so rest must fit 13 bits
+    # strictly (lg_min guarantees it; the assert guards refactors)
+    assert int(pos.max(initial=0)) >> lgB < (1 << XL_REST_BITS), lgB
+    table, spill = _pack_table(pos, tag, payload, need, lgB, True, XL_SLOTS)
+    if spill.shape[0] > max(n_set // 8, 4096):
+        return None  # degenerate distribution; classic path is safer
+
+    n_sp = spill.shape[0]
+    if n_sp:
+        # flag every overflowed bucket (bit 13 of slot-0's meta16): probes
+        # that miss in a flagged bucket must consult the side table
+        spos = _stash_positions(spill)
+        sbuck = (spos & np.uint64((1 << lgB) - 1)).astype(np.int64)
+        table[np.unique(sbuck), 0] |= np.uint32(1 << XL_FLAG_BIT)
+
+        lg2_min = max(6, int(np.ceil(np.log2(index.size_bits))) - 30)
+        lg2 = side_lgB if side_lgB is not None else max(
+            lg2_min, int(np.ceil(np.log2(max(n_sp, 2)))) - 2
+        )
+        side = None
+        for c2 in range(lg2, min(lg2 + 8, XL_MAX_LGB + 1)):
+            s, st = _pack_table(
+                spos, spill[:, 2].astype(np.int64), spill[:, 3], None, c2,
+                False,
+            )
+            if st.shape[0] <= XL_SIDE_STASH_CAP:
+                side, side_stash_rows, lg2 = s, st, c2
+                break
+            if side_lgB is not None:
+                return None  # pinned geometry cannot absorb its spills
+        if side is None:
+            return None
+    else:
+        lg2 = 6
+        side = np.zeros((1 << lg2, 2, BUCKET_SLOTS), np.uint32)
+        side_stash_rows = np.empty((0, 4), np.uint32)
+
+    meta = HashedMeta(
+        lgB=lgB,
+        has_rows=has_rows,
+        entry16=True,
+        slots=XL_SLOTS,
+        xl=True,
+        side_lgB=lg2,
+        has_side=n_sp > 0,
+    )
+    return table, side, _pad_stash(side_stash_rows), meta
+
+
+def _stash_positions(rows: np.ndarray) -> np.ndarray:
+    """uint64 positions from stash-layout rows (pos_lo, pos_hi, ...)."""
+    return rows[:, 0].astype(np.uint64) | (
+        rows[:, 1].astype(np.uint64) << np.uint64(32)
+    )
+
+
 def _pack_table(
     pos: np.ndarray,
     tag: np.ndarray,
@@ -242,9 +390,12 @@ def _pack_table(
     need_s = (
         need[order] if need is not None else np.ones(n_set, np.int64)
     )
-    _, starts, counts = np.unique(
-        bucket_s, return_index=True, return_counts=True
+    # bucket_s is sorted: boundaries by diff, NOT np.unique (which
+    # re-sorts — measured 49.5 s alone at the 72M-entry xl scale)
+    starts = np.flatnonzero(
+        np.concatenate([[True], bucket_s[1:] != bucket_s[:-1]])
     )
+    counts = np.diff(np.concatenate([starts, [n_set]]))
     csum = np.cumsum(need_s)
     base = np.repeat((csum - need_s)[starts], counts)
     slot = (csum - need_s) - base  # first slot offset within the bucket
@@ -311,7 +462,34 @@ def classify_kernel_hashed(
     rest = (idx_lo >> lgB) | (idx_hi << (32 - lgB))
 
     row = take_rows(dix.table, bucket)  # ONE flat-index gather
-    if hmeta.entry16:
+    if hmeta.xl:
+        # 16-byte rows, entry16 word format with 13-bit rest; the bucket-
+        # overflow flag rides bit 13 of slot 0's meta, excluded from the
+        # rest compare by the narrower mask. rest always fits 13 bits for
+        # probe positions too (p < size_bits <= 2^lgB << 13 by build).
+        meta_l = row >> 16
+        pay_l = row & jnp.uint32(0xFFFF)
+        lane_tag = meta_l >> 14
+        m = (
+            ((meta_l & jnp.uint32((1 << XL_REST_BITS) - 1)) == rest[..., None])
+            & (lane_tag != 0)
+            & win_valid[..., None]
+        )
+        iota = jnp.arange(hmeta.slots, dtype=jnp.uint32)
+        fs = jnp.min(
+            jnp.where(m, iota, hmeta.slots), axis=-1, keepdims=True
+        )
+        p0 = jnp.sum(jnp.where(m & (iota == fs), pay_l, 0), axis=-1)
+        p1 = jnp.sum(jnp.where(m & (iota > fs), pay_l, 0), axis=-1)
+        tagv = jnp.max(jnp.where(m, lane_tag, 0), axis=-1)
+        payv = p0 | (p1 << 16)
+        if hmeta.has_side:
+            flagged = ((row[..., 0] >> XL_FLAG_BIT) & 1) == 1
+            need_side = win_valid & flagged & ~jnp.any(m, axis=-1)
+            tagv, payv = _xl_side_resolve(
+                dix, hmeta, idx_lo, idx_hi, need_side, tagv, payv
+            )
+    elif hmeta.entry16:
         # one u32 word per entry (meta16 high, payload16 low); a degree-2
         # or row entry spans TWO adjacent words with identical meta, so up
         # to two lanes match and their payloads reassemble into the same
@@ -345,19 +523,22 @@ def classify_kernel_hashed(
         tagv = jnp.sum(jnp.where(m, lane_tag, 0), axis=-1)
         payv = jnp.sum(jnp.where(m, w1, 0), axis=-1)
 
-    # stash lanes: full-position compare (bucket spills — no locality)
-    st = dix.stash  # [S, 4]
-    sm = (
-        (idx_lo[..., None] == st[:, 0][None, None, :])
-        & (idx_hi[..., None] == st[:, 1][None, None, :])
-        & win_valid[..., None]
-    )
-    tagv = tagv + jnp.sum(
-        jnp.where(sm, st[:, 2][None, None, :], 0), axis=-1
-    )
-    payv = payv + jnp.sum(
-        jnp.where(sm, st[:, 3][None, None, :], 0), axis=-1
-    )
+    if not hmeta.xl:
+        # stash lanes: full-position compare (bucket spills — no
+        # locality). The xl layout resolves spills through its side
+        # table instead (above); its dix.stash is an empty pad.
+        st = dix.stash  # [S, 4]
+        sm = (
+            (idx_lo[..., None] == st[:, 0][None, None, :])
+            & (idx_hi[..., None] == st[:, 1][None, None, :])
+            & win_valid[..., None]
+        )
+        tagv = tagv + jnp.sum(
+            jnp.where(sm, st[:, 2][None, None, :], 0), axis=-1
+        )
+        payv = payv + jnp.sum(
+            jnp.where(sm, st[:, 3][None, None, :], 0), axis=-1
+        )
 
     # shared back-end: direct keys for degree<=2, compacted rows3 gather
     # under a batch-level cond for degree>=3, sort-based finish
@@ -372,6 +553,87 @@ def classify_kernel_hashed(
         max_winners=max_winners,
         L=L,
         has_rows=hmeta.has_rows,
+    )
+
+
+def _xl_side_resolve(
+    dix: HashedDeviceIndex,
+    hmeta: HashedMeta,
+    idx_lo: jnp.ndarray,  # u32[B, Ls]
+    idx_hi: jnp.ndarray,  # u32[B, Ls]
+    need_side: jnp.ndarray,  # bool[B, Ls]: flagged bucket, no row match
+    tagv: jnp.ndarray,
+    payv: jnp.ndarray,
+):
+    """Resolve spilled xl entries through the side table. Windows needing
+    it are rare (spill mass ~1% x probe traffic), so they compact to
+    XL_SIDE_CAP columns per read for one small bucket gather; a batch
+    where some read exceeds the cap takes a full-width side gather
+    instead (exact either way), and side-free batches skip everything
+    under the outer cond. A window in need_side matched NOTHING in the
+    main row (tag 0), so merging side results is a plain overwrite."""
+    import jax
+
+    B, Ls = need_side.shape
+    lg2 = hmeta.side_lgB
+    mask2 = jnp.uint32((1 << lg2) - 1)
+    st = dix.side_stash  # [S2, 4]
+
+    def match_side(rows, lo, hi, valid):
+        # entry8 lane semantics (planar w0/w1) + the side's own stash
+        w0 = rows[..., 0, :]
+        w1 = rows[..., 1, :]
+        rest2 = (lo >> lg2) | (hi << (32 - lg2))
+        lane_tag = w0 >> 30
+        m = (
+            ((w0 & jnp.uint32(0x3FFFFFFF)) == rest2[..., None])
+            & (lane_tag != 0)
+            & valid[..., None]
+        )
+        t = jnp.sum(jnp.where(m, lane_tag, 0), axis=-1)
+        p = jnp.sum(jnp.where(m, w1, 0), axis=-1)
+        sm = (
+            (lo[..., None] == st[:, 0])
+            & (hi[..., None] == st[:, 1])
+            & valid[..., None]
+        )
+        t = t + jnp.sum(jnp.where(sm, st[:, 2], 0), axis=-1)
+        p = p + jnp.sum(jnp.where(sm, st[:, 3], 0), axis=-1)
+        return t, p
+
+    col_iota = jnp.broadcast_to(
+        jnp.arange(Ls, dtype=jnp.int32)[None, :], (B, Ls)
+    )
+
+    def compact_branch(_):
+        scol, svalid, _ = compact_true_cols(need_side, col_iota, XL_SIDE_CAP)
+        lo = jnp.take_along_axis(idx_lo, scol, axis=1)
+        hi = jnp.take_along_axis(idx_hi, scol, axis=1)
+        rows = take_rows(dix.side, (lo & mask2).astype(jnp.int32))
+        t, p = match_side(rows, lo, hi, svalid)
+        # invalid (clamped-duplicate) lanes write back the original value,
+        # so scatter order never matters; valid columns are distinct
+        new_t = jnp.where(svalid, t, jnp.take_along_axis(tagv, scol, axis=1))
+        new_p = jnp.where(svalid, p, jnp.take_along_axis(payv, scol, axis=1))
+        rix = jnp.arange(B, dtype=jnp.int32)[:, None]
+        return tagv.at[rix, scol].set(new_t), payv.at[rix, scol].set(new_p)
+
+    def full_branch(_):
+        rows = take_rows(dix.side, (idx_lo & mask2).astype(jnp.int32))
+        t, p = match_side(rows, idx_lo, idx_hi, need_side)
+        return (
+            jnp.where(need_side, t, tagv),
+            jnp.where(need_side, p, payv),
+        )
+
+    n_side = jnp.sum(need_side.astype(jnp.int32), axis=1)
+    return jax.lax.cond(
+        jnp.any(need_side),
+        lambda _: jax.lax.cond(
+            jnp.max(n_side) <= XL_SIDE_CAP, compact_branch, full_branch, None
+        ),
+        lambda _: (tagv, payv),
+        None,
     )
 
 

@@ -98,6 +98,9 @@ class StaticMeta:
     ext_w: int = 0  # extension-row width (0 = no rows overflow the cap)
     degree3: int = 1  # COMPACTED deg>=3 row geometry (rows3 tables)
     ext3_w: int = 0
+    # > 0 when TAG_ROW payloads carry (gid << rows_bits) | rows3_index,
+    # enabling the tie-heavy group fast path (group_info)
+    rows_bits: int = 0
 
     @classmethod
     def for_index(cls, index: SharkIndex, max_len: int) -> "StaticMeta":
@@ -107,10 +110,13 @@ class StaticMeta:
                 "use the sharded-BF mode"
             )
         pos_bits = max(1, int(np.ceil(np.log2(max(2, max_len)))))
-        if (index.n_genes << pos_bits) >= (1 << 31):
+        # +1: the group fast path scores deduped gene sets as one pseudo
+        # gene id == n_genes, which must also fit the 31-bit sort keys
+        if ((index.n_genes + 1) << pos_bits) >= (1 << 31):
             raise ValueError("n_genes * max_len exceeds 31-bit sort keys")
         degree, ext_w = index_geometry(index)
         degree3, ext3_w = index_geometry3(index)
+        gi = group_info(index)
         return cls(
             k=index.k,
             size_bits=index.size_bits,
@@ -120,6 +126,7 @@ class StaticMeta:
             ext_w=ext_w,
             degree3=degree3,
             ext3_w=ext3_w,
+            rows_bits=gi[2] if gi is not None else 0,
         )
 
 
@@ -200,6 +207,91 @@ def index_geometry(index: SharkIndex) -> Tuple[int, int]:
     return geom
 
 
+class GeneGroups(NamedTuple):
+    """Deduped gene-SETS of the deg>=3 rows, CSR layout: members of group
+    g are flat[offsets[g]:offsets[g+1]] (ascending gene ids, as stored).
+    The host expands group verdicts through this instead of fetching (or
+    recomputing) per-member winner lists."""
+
+    offsets: np.ndarray  # int64[n_gids + 1]
+    flat: np.ndarray  # uint16[total]
+
+    @property
+    def n_gids(self) -> int:
+        return self.offsets.size - 1
+
+
+def group_info(index: SharkIndex):
+    """(gid int64[n_deg3_rows], GeneGroups, rows_bits) for the tie-heavy
+    fast path, or None when the index cannot carry group ids.
+
+    Many deg>=3 rows share one gene SET (a family's shared core is ~L-k+1
+    rows with identical member lists, reference semantics: every core
+    k-mer maps to the whole family, bloomfilter.h:61-75). A read whose
+    hits are all rows of ONE set ties across exactly that set, so the
+    kernel can score the set once as a pseudo-gene and the host expands
+    members from here — instead of D3 full-width key lanes per window
+    (the measured 8x key redundancy of the homolog workload).
+
+    The TAG_ROW payload then carries (gid << rows_bits) | rows3_index.
+    Returns None when the split doesn't fit 32 bits (transcriptome-scale
+    row counts), or gids/genes exceed the packed 16-bit verdict field."""
+    cached = index.__dict__.get("_group_info", "unset")
+    if cached != "unset":
+        return cached
+    info = _group_info_impl(index)
+    index.__dict__["_group_info"] = info
+    return info
+
+
+def _group_info_impl(index: SharkIndex):
+    deg = np.diff(index.offsets).astype(np.int64)
+    d3rows = np.flatnonzero(deg >= 3)
+    n3 = d3rows.size
+    if n3 == 0 or index.n_genes >= (1 << 16):
+        return None
+    rows_bits = max(1, int(np.ceil(np.log2(max(n3, 2)))))
+    gid_cap = min(1 << (32 - rows_bits), 1 << 16)
+    off = index.offsets[:-1].astype(np.int64)
+    gene_ids = np.asarray(index.gene_ids)
+    gid = np.empty(n3, np.int64)
+    uniq_sets = []
+    next_gid = 0
+    for d in np.unique(deg[d3rows]):
+        sel = np.flatnonzero(deg[d3rows] == d)
+        rows = d3rows[sel]
+        mat = gene_ids[off[rows][:, None] + np.arange(int(d))[None, :]]
+        uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+        gid[sel] = next_gid + inv
+        next_gid += uniq.shape[0]
+        uniq_sets.append(uniq)
+        if next_gid > gid_cap:
+            return None
+    offsets = np.concatenate(
+        [[0]]
+        + [np.full(u.shape[0], u.shape[1], np.int64) for u in uniq_sets]
+    ).cumsum()
+    flat = np.concatenate([u.reshape(-1) for u in uniq_sets]).astype(
+        np.uint16
+    )
+    return gid, GeneGroups(offsets=offsets, flat=flat), rows_bits
+
+
+def rows3_payload(index: SharkIndex) -> np.ndarray:
+    """uint32 TAG_ROW payloads, one per deg>=3 set bit in CSR rank order:
+    the compacted rows3 index, with (gid << rows_bits) OR'd in when the
+    index carries group ids (group_info) — both probe front-ends
+    (build_pay and the hashed _entry_streams) must agree bit for bit."""
+    deg = np.diff(index.offsets)
+    n3 = int(np.count_nonzero(deg >= 3))
+    ridx = np.arange(n3, dtype=np.uint32)
+    gi = group_info(index)
+    if gi is not None:
+        gid, _, rows_bits = gi
+        ridx |= gid.astype(np.uint32) << np.uint32(rows_bits)
+    return ridx
+
+
 def index_geometry3(index: SharkIndex) -> Tuple[int, int]:
     """Cached geometry of the COMPACTED deg>=3 row table (rows3). The
     single-chip kernels resolve deg<=2 probes inline from tag/payload
@@ -252,6 +344,8 @@ PACK_NW_SHIFT = 16
 PACK_NW_BITS = 5               # n_winners, saturating at 31
 PACK_EMIT_SHIFT = 21           # cov >= c*len flag
 PACK_OVF_SHIFT = 22            # device result incomplete; host must redo
+PACK_GRP_SHIFT = 23            # gene field holds a GROUP id (group_info);
+#                                the host expands members via GeneGroups
 
 # Sentinel padding of the compacted extra-winner pair stream.
 PAIR_SENTINEL = 0xFFFFFFFF
@@ -287,8 +381,11 @@ def extract_pairs(packed: jnp.ndarray, winners: jnp.ndarray, cap: int):
     nw = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
     emit = ((packed >> PACK_EMIT_SHIFT) & 1) == 1
     ovf = ((packed >> PACK_OVF_SHIFT) & 1) == 1
+    grp = ((packed >> PACK_GRP_SHIFT) & 1) == 1
     sat = (1 << PACK_NW_BITS) - 1
-    need = emit & (nw >= 1) & (nw <= W) & (nw < sat) & ~ovf
+    # group verdicts (grp) carry a GROUP id, not a gene: the host expands
+    # members from GeneGroups, so they never ride the pair stream
+    need = emit & (nw >= 1) & (nw <= W) & (nw < sat) & ~ovf & ~grp
     slot = jnp.arange(W, dtype=jnp.int32)[None, :]
     valid = need[:, None] & (slot < nw[:, None])
     row = jnp.arange(B, dtype=jnp.uint32)[:, None]
@@ -423,7 +520,7 @@ def build_pay(index: SharkIndex) -> np.ndarray:
     if d2.any():
         w1[d2] = gene_ids[off[d2] + 1].astype(np.uint32)
     if d3.any():
-        w1[d3] = np.arange(int(d3.sum()), dtype=np.uint32)  # rows3 index
+        w1[d3] = rows3_payload(index)  # rows3 index (+ gid bits)
     pay[:, 1] = w1
     return pay
 
@@ -803,12 +900,14 @@ def finish_from_tags(
     max_winners: int,
     L: int,
     has_rows: bool,
+    allow_groups: bool = True,
 ):
     """Shared back-end of every probe front-end: (tag, payload) per window
     -> sort keys -> coverage/winner reduction. Degree<=2 windows build
     their keys directly; degree>=3 windows resolve through the compacted
     rows3 table under a batch-level cond so row-free batches never pay the
-    gather."""
+    gather. `allow_groups=False` disables the tie-heavy group fast path
+    (used by its own sub-batch recursion)."""
     B, Ls = tagv.shape
     off = L - Ls
     pos_bits = meta.pos_bits
@@ -831,7 +930,14 @@ def finish_from_tags(
     if has_rows:
         geometry3 = (meta.degree3, meta.ext3_w)
         is_row = tagv == TAG_ROW
-        row_idx = jnp.where(is_row, payv, 0).astype(jnp.int32)
+        rb = meta.rows_bits
+        if rb:
+            row_idx = jnp.where(
+                is_row, payv & jnp.uint32((1 << rb) - 1), 0
+            ).astype(jnp.int32)
+            gidv = (payv >> rb).astype(jnp.int32)
+        else:
+            row_idx = jnp.where(is_row, payv, 0).astype(jnp.int32)
 
         def _finish(extra_keys, base_keys, ovf):
             key_mat = jnp.concatenate(base_keys + list(extra_keys), axis=1)
@@ -861,6 +967,7 @@ def finish_from_tags(
         def full_branch(_):
             return full_from_gm(take_rows(rows3, row_idx))
 
+        heavy = full_branch
         if meta.degree3 >= ROW_COMPACT_MIN_D:
             # Wide-row indexes (transcriptome scale: D3 up to 16) pay a
             # full-width [B, Ls] rows3 gather per batch even when deg>=3
@@ -898,22 +1005,161 @@ def finish_from_tags(
             # branch below wins only because it removes the full-width
             # rows3 GATHER, not because it narrows the sort.)
             n_row = jnp.sum(is_row.astype(jnp.int32), axis=1)
-            # row-free batches skip even the compacted gather + row lanes
-            return jax.lax.cond(
-                jnp.any(is_row),
-                lambda _: jax.lax.cond(
+
+            def heavy(_):
+                return jax.lax.cond(
                     jnp.max(n_row) <= ROW_CAP,
                     compact_branch,
                     full_branch,
                     None,
-                ),
-                lambda _: _finish([], keys, row_ovf),
-                None,
-            )
+                )
 
+        if rb and allow_groups:
+            # Tie-heavy (group) fast path. Per read, call it PURE when all
+            # its hits are deg>=3 rows carrying ONE common group id (one
+            # deduped gene set) and it has no direct (deg<=2) hits: every
+            # member of that set then receives identical hit positions, so
+            # (cov, hits) are identical, all members tie, and the verdict
+            # is exactly "the whole set, with the set's coverage"
+            # (ReadAnalyzer.hpp:90-102 tie semantics). Such reads score
+            # the SET as one pseudo-gene (id n_genes) in a single key
+            # lane folded into the direct lanes — no rows3 gather, no D3
+            # key fan-out, no per-member winner traffic (the 8x key
+            # redundancy of homolog panels, docs/PERF.md) — and the host
+            # expands members from GeneGroups.
+            #
+            # IMPURE row-hitting reads (core-boundary straddlers whose row
+            # hits interleave with member-specific direct hits; reads
+            # touching a collision-merged row with its own unique set —
+            # ~1% of core reads at -b 1, so EVERY production batch has
+            # some) re-score exactly through a compacted FIX_CAP-read
+            # sub-batch of the recursive heavy finish, scattered back
+            # over the group verdicts. Only a batch with more than
+            # FIX_CAP impure reads falls back to the full heavy branch.
+            any_direct = jnp.any(
+                (tagv == TAG_D1) | (tagv == TAG_D2), axis=1
+            )
+            any_row = jnp.any(is_row, axis=1)
+            gmax = jnp.max(jnp.where(is_row, gidv, -1), axis=1)
+            gmin = jnp.min(
+                jnp.where(is_row, gidv, jnp.int32(0x7FFFFFFF)), axis=1
+            )
+            pure = any_row & ~any_direct & (gmax == gmin)
+            need_fix = any_row & ~pure
+            n_fix = jnp.sum(need_fix.astype(jnp.int32))
+            FIX_CAP = min(B, max(64, B // 16))
+
+            def group_branch(fix):
+                def impl(_):
+                    import dataclasses
+
+                    pseudo = jnp.uint32(meta.n_genes)
+                    sent2 = jnp.uint32((meta.n_genes + 1) << pos_bits)
+                    direct1 = (tagv == TAG_D1) | (tagv == TAG_D2)
+                    kd0 = jnp.where(
+                        direct1,
+                        ((payv & 0xFFFF) << pos_bits) | pos_u32,
+                        sent2,
+                    )
+                    kd1 = jnp.where(
+                        tagv == TAG_D2,
+                        ((payv >> 16) << pos_bits) | pos_u32,
+                        sent2,
+                    )
+                    # a window is direct XOR row: the group lane folds
+                    # into lane 0 (sentinel is the max key)
+                    kg = jnp.where(
+                        is_row, (pseudo << pos_bits) | pos_u32, sent2
+                    )
+                    meta2 = dataclasses.replace(
+                        meta, n_genes=meta.n_genes + 1
+                    )
+                    packed, winners, best_cov, length_ = finish_from_keys(
+                        jnp.concatenate(
+                            [jnp.minimum(kd0, kg), kd1], axis=1
+                        ),
+                        length,
+                        thresh,
+                        row_ovf,
+                        meta=meta2,
+                        max_winners=max_winners,
+                        L=L,
+                    )
+                    # pure reads: the pseudo-gene is their only candidate
+                    # and any_row guarantees >= 1 hit, so rewrite the
+                    # verdict to (group id, nw=1 placeholder, GRP flag),
+                    # keeping the device-computed emit bit; the host
+                    # substitutes the true member list and count
+                    emit_b = (packed >> PACK_EMIT_SHIFT) & 1
+                    packed = jnp.where(
+                        pure,
+                        jnp.maximum(gmax, 0)
+                        | (1 << PACK_NW_SHIFT)
+                        | (emit_b << PACK_EMIT_SHIFT)
+                        | jnp.int32(1 << PACK_GRP_SHIFT),
+                        packed,
+                    )
+                    if fix:
+                        # compact the impure reads into a FIX_CAP-read
+                        # sub-batch, re-score them exactly through the
+                        # recursive heavy finish (group path disabled),
+                        # scatter the verdicts back; padding lanes write
+                        # back the original values (scatter-order-safe)
+                        iota_b = jnp.arange(B, dtype=jnp.int32)
+                        sel = jnp.sort(
+                            jnp.where(need_fix, iota_b, B)
+                        )[:FIX_CAP]
+                        valid = sel < B
+                        sel = jnp.minimum(sel, B - 1)
+                        sp, sw, sc, _ = finish_from_tags(
+                            jnp.take(tagv, sel, axis=0),
+                            jnp.take(payv, sel, axis=0),
+                            jnp.take(length, sel, axis=0),
+                            thresh,
+                            rows3=rows3,
+                            ext_mat=ext_mat,
+                            meta=meta,
+                            max_winners=max_winners,
+                            L=L,
+                            has_rows=True,
+                            allow_groups=False,
+                        )
+                        packed = packed.at[sel].set(
+                            jnp.where(valid, sp, jnp.take(packed, sel))
+                        )
+                        winners = winners.at[sel].set(
+                            jnp.where(
+                                valid[:, None],
+                                sw,
+                                jnp.take(winners, sel, axis=0),
+                            )
+                        )
+                        best_cov = best_cov.at[sel].set(
+                            jnp.where(valid, sc, jnp.take(best_cov, sel))
+                        )
+                    return packed, winners, best_cov, length_
+
+                return impl
+
+            inner_heavy = heavy
+
+            def heavy(_):
+                return jax.lax.cond(
+                    n_fix == 0,
+                    group_branch(False),
+                    lambda _: jax.lax.cond(
+                        n_fix <= FIX_CAP,
+                        group_branch(True),
+                        inner_heavy,
+                        None,
+                    ),
+                    None,
+                )
+
+        # row-free batches skip even the compacted gather + row lanes
         return jax.lax.cond(
             jnp.any(is_row),
-            full_branch,
+            heavy,
             lambda _: _finish([], keys, row_ovf),
             None,
         )
@@ -1022,25 +1268,44 @@ class Classifier:
         self.index = index
         self.max_winners = max_winners
         self.c = c
+        # deduped deg>=3 gene sets for the tie-heavy group fast path; the
+        # host expands group verdicts (PACK_GRP) through this
+        gi = group_info(index)
+        self.groups = gi[1] if gi is not None else None
         # local_devices: under a multi-host jax.distributed runtime the
         # global jax.devices()[0] may live on another process
         dev = device or jax.local_devices()[0]
         self._dev = dev
         built = None
-        if probe in (None, "hashed"):
+        built_xl = None
+        if probe in (None, "hashed", "xl"):
             from shark_tpu.classify.hashed import (
                 HashedDeviceIndex,
+                _pad_stash,
                 build_hashed_index,
+                build_hashed_xl,
             )
 
-            built = build_hashed_index(index)
-            if built is None and probe == "hashed":
+            if probe != "xl":
+                built = build_hashed_index(index)
+            if built is None:
+                # past the 64 MB bucket-table cliff (or forced): the
+                # GB-scale 16-byte-row layout keeps the one-gather probe
+                built_xl = build_hashed_xl(index)
+            if built is None and built_xl is None and probe is not None:
                 raise ValueError(
-                    "hashed probe table not buildable for this index "
+                    f"{probe} probe table not buildable for this index "
                     "(table budget / stash overflow); use probe='classic'"
                 )
-        if built is not None:
-            table, stash, self._hmeta = built
+        if built is not None or built_xl is not None:
+            if built is not None:
+                table, stash, self._hmeta = built
+                side = side_stash = None
+                self.probe = "hashed"
+            else:
+                table, side, side_stash, self._hmeta = built_xl
+                stash = _pad_stash(np.empty((0, 4), np.uint32))  # unused
+                self.probe = "xl"
             rows3, ext_mat = (
                 build_rows3(index)
                 if self._hmeta.has_rows
@@ -1055,8 +1320,15 @@ class Classifier:
                     if ext_mat is not None
                     else None
                 ),
+                side=(
+                    jax.device_put(side, dev) if side is not None else None
+                ),
+                side_stash=(
+                    jax.device_put(side_stash, dev)
+                    if side_stash is not None
+                    else None
+                ),
             )
-            self.probe = "hashed"
             self._has_rows = self._hmeta.has_rows
         else:
             bf_rank, pay, rows3, ext_mat = build_device_index(index)
@@ -1080,7 +1352,7 @@ class Classifier:
         fn = self._fns.get(key)
         if fn is None:
             meta = StaticMeta.for_index(self.index, L)
-            if self.probe == "hashed":
+            if self.probe in ("hashed", "xl"):
                 from shark_tpu.classify.hashed import (
                     classify_kernel_hashed,
                     classify_kernel_hashed_packed,

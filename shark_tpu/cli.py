@@ -76,11 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-native", action="store_true",
                    help="disable the native C++ host I/O engine")
     p.add_argument("--probe", default="auto",
-                   choices=("auto", "hashed", "classic"),
-                   help="probe-path selection: auto (default) uses the "
-                        "hashed one-gather table when buildable; classic "
-                        "forces the two-gather layout (correct at any "
-                        "scale); hashed fails fast if not buildable")
+                   choices=("auto", "hashed", "xl", "classic"),
+                   help="probe-path selection: auto (default) uses a "
+                        "one-gather hashed table when buildable (the "
+                        "GB-scale xl variant past the 64MB bucket-table "
+                        "budget); classic forces the two-gather layout "
+                        "(correct at any scale); hashed/xl fail fast if "
+                        "not buildable")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--resume", action="store_true",

@@ -45,11 +45,12 @@ class SharkConfig:
     use_native: bool = True  # use the C++ host I/O engine when available
     profile_dir: str = ""  # write a jax.profiler trace here
     # Probe-path selection for the replicated-index classifiers: "auto"
-    # picks the hashed one-gather table when buildable, falling back to the
-    # classic two-gather layout; "hashed"/"classic" force one (classic is
-    # unconditionally correct at any scale — the escape hatch if a hashed
-    # table misbehaves on a real panel). The sharded-BF mode has its own
-    # routed layout and ignores this.
+    # picks the hashed one-gather table when buildable (the GB-scale "xl"
+    # variant past the 64 MB bucket-table budget), falling back to the
+    # classic two-gather layout; "hashed"/"xl"/"classic" force one
+    # (classic is unconditionally correct at any scale — the escape hatch
+    # if a hashed table misbehaves on a real panel). The sharded-BF mode
+    # has its own routed layout and ignores this.
     probe: str = "auto"
     # Batches per device->host verdict fetch. In-session A/B on v5e:
     # grouping (4) measured ~15% SLOWER than per-batch fetches (the group
@@ -81,8 +82,10 @@ class SharkConfig:
             raise ValueError("at least 1 thread is required")
         if self.bf_gb < 1:
             raise ValueError("bf size must be >= 1 GB unit")
-        if self.probe not in ("auto", "hashed", "classic"):
-            raise ValueError("probe must be one of: auto, hashed, classic")
+        if self.probe not in ("auto", "hashed", "xl", "classic"):
+            raise ValueError(
+                "probe must be one of: auto, hashed, xl, classic"
+            )
         if not (1 <= self.fetch_group <= 6):
             # the native prefetch ring (kRing = 20) must cover
             # group * (lookahead_depth + 2) pinned batches; shk_next also

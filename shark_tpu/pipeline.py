@@ -105,13 +105,14 @@ def _drain(
     writer: OutputWriter,
     max_winners: int,
     reprobe=None,
+    groups=None,
 ) -> None:
     """Decode one batch's verdicts and emit through the Python writer
     (non-native path); shares all verdict/overflow logic with the native
     path via _winner_pairs."""
     ri, gi = _winner_pairs(
         cfg, index, result, batch.n, batch.codes, max_winners,
-        reprobe=reprobe,
+        reprobe=reprobe, groups=groups,
     )
     names = index.gene_names
     rec2 = batch.recs2
@@ -141,13 +142,16 @@ def _winner_pairs(
     reprobe=None,
     spec=None,
     spec_state: Optional[dict] = None,
+    groups=None,
 ):
     """Device result -> (read_idx, gene_idx) association arrays, read-ascending,
     genes ascending within a read (the reference's emission order,
     ReadAnalyzer.hpp:104-108 + ReadOutput.hpp:43-48). `packed_np` supplies a
     pre-fetched packed-verdict array (grouped-fetch fast path); `reprobe`
     (sharded-BF spill-and-retry) re-runs the batch with a larger routing
-    cap when the overflow counter fires.
+    cap when the overflow counter fires; `groups` (GeneGroups) expands
+    device GROUP verdicts (PACK_GRP: tie-heavy reads scored as one deduped
+    gene set) into their member lists.
 
     `spec` carries a SPECULATIVE (pairs_device_array, cap) pre-dispatched
     by the main loop right after the classify kernel (its d2h copy
@@ -156,8 +160,64 @@ def _winner_pairs(
     recomputed exactly otherwise. `spec_state` ({"cap": int}) is how this
     function tells the main loop that the workload is tie-heavy and which
     capacity to speculate with (0 = don't)."""
+    ri1, gi1, grp_rows, packed = _winner_pairs_base(
+        cfg, index, result, n, codes, max_winners,
+        packed_np=packed_np, reprobe=reprobe, spec=spec,
+        spec_state=spec_state,
+    )
+    if grp_rows.size == 0:
+        return ri1, gi1
+    if groups is None:
+        raise RuntimeError(
+            "device emitted GROUP verdicts but no GeneGroups is attached "
+            "to this classifier"
+        )
+    # expand each group verdict into its member list (ascending ids, as
+    # stored — the reference's emission order within a read)
+    from shark_tpu.classify.step import _ragged_cols
+
+    off_g = groups.offsets
+    gids = (packed[grp_rows] & 0xFFFF).astype(np.int64)
+    cnt2 = (off_g[gids + 1] - off_g[gids]).astype(np.int64)
+    ri2 = np.repeat(grp_rows, cnt2).astype(np.int32)
+    gi2 = groups.flat[
+        np.repeat(off_g[gids], cnt2) + _ragged_cols(cnt2)
+    ].astype(np.int32)
+    if ri1.size == 0:
+        return ri2, gi2
+    # merge, preserving read-ascending order: each read's pairs live in
+    # exactly one source and both sources are read-ascending, so place by
+    # per-read offsets instead of re-sorting the concatenation
+    c1 = np.bincount(ri1, minlength=n)
+    c2 = np.bincount(ri2, minlength=n)
+    start = np.concatenate([[0], np.cumsum(c1 + c2)])
+    out_r = np.empty(ri1.size + ri2.size, np.int32)
+    out_g = np.empty_like(out_r)
+    for r_, g_, c_ in ((ri1, gi1, c1), (ri2, gi2, c2)):
+        first = (np.cumsum(c_) - c_)[r_]
+        dst = start[r_] + (np.arange(r_.size, dtype=np.int64) - first)
+        out_r[dst] = r_
+        out_g[dst] = g_
+    return out_r, out_g
+
+
+def _winner_pairs_base(
+    cfg: SharkConfig,
+    index: SharkIndex,
+    result,
+    n: int,
+    codes: np.ndarray,
+    max_winners: int,
+    packed_np: Optional[np.ndarray] = None,
+    reprobe=None,
+    spec=None,
+    spec_state: Optional[dict] = None,
+):
+    """(read_idx, gene_idx, emitted_group_rows, packed) for the non-group
+    verdicts; group rows (PACK_GRP) are returned for the caller to expand."""
     from shark_tpu.classify.step import (
         PACK_EMIT_SHIFT,
+        PACK_GRP_SHIFT,
         PACK_NW_BITS,
         PACK_NW_SHIFT,
         PACK_OVF_SHIFT,
@@ -195,13 +255,23 @@ def _winner_pairs(
     winner0 = packed & ((1 << PACK_NW_SHIFT) - 1)
     n_winners = (packed >> PACK_NW_SHIFT) & ((1 << PACK_NW_BITS) - 1)
     dev_ovf = ((packed >> PACK_OVF_SHIFT) & 1).astype(bool)
-    emit = ((packed >> PACK_EMIT_SHIFT) & 1).astype(bool) & (n_winners > 0)
+    grp = ((packed >> PACK_GRP_SHIFT) & 1).astype(bool)
+    emit_bit = ((packed >> PACK_EMIT_SHIFT) & 1).astype(bool)
+    # group verdicts: winner0 is a GROUP id (>= 3 tied members by
+    # construction), expanded by the caller; single mode can never emit
+    # them (the reference drops multi-winner reads, main.cpp -s)
+    grp_rows = (
+        np.flatnonzero(grp & emit_bit)
+        if not cfg.single
+        else np.empty(0, np.int64)
+    )
+    emit = emit_bit & (n_winners > 0) & ~grp
     if cfg.single:
         emit &= n_winners == 1
     # device-overflowed rows have an incomplete verdict: always recompute
     rows = np.flatnonzero(emit | dev_ovf)
     if rows.size == 0:
-        return rows.astype(np.int32), rows.astype(np.int32)
+        return rows.astype(np.int32), rows.astype(np.int32), grp_rows, packed
     nw = n_winners[rows]
     sat = (1 << PACK_NW_BITS) - 1
     overflow = (nw > max_winners) | (nw == sat) | dev_ovf[rows]
@@ -215,7 +285,12 @@ def _winner_pairs(
             if spec_state["idle"] >= 4:
                 spec_state["cap"] = 0
                 spec_state["idle"] = 0
-        return rows.astype(np.int32), winner0[rows].astype(np.int32)
+        return (
+            rows.astype(np.int32),
+            winner0[rows].astype(np.int32),
+            grp_rows,
+            packed,
+        )
     winners = None
     if not np.any(overflow):
         B = int(packed_dev.shape[0])
@@ -269,6 +344,8 @@ def _winner_pairs(
                     return (
                         prow[keep].astype(np.int32),
                         (pairs[keep] & 0xFFFF).astype(np.int32),
+                        grp_rows,
+                        packed,
                     )
         if spec_state is not None and spec is not None:
             # speculation unusable for this batch shape (stream over
@@ -286,7 +363,7 @@ def _winner_pairs(
         mask = np.arange(W)[None, :] < counts[:, None]
         r_idx = np.repeat(rows, counts)
         g_idx = gmat[mask]
-        return r_idx.astype(np.int32), g_idx.astype(np.int32)
+        return r_idx.astype(np.int32), g_idx.astype(np.int32), grp_rows, packed
     winners = np.asarray(winners_dev)
     # rare: a read tied across more genes than the device compaction width;
     # recompute those rows with the host oracle
@@ -310,6 +387,8 @@ def _winner_pairs(
     return (
         np.asarray(r_list, dtype=np.int32),
         np.asarray(g_list, dtype=np.int32),
+        grp_rows,
+        packed,
     )
 
 
@@ -513,6 +592,7 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
                         reprobe=getattr(classifier, "reprobe", None),
                         spec=spec_,
                         spec_state=spec_state,
+                        groups=getattr(classifier, "groups", None),
                     )
                     ns.emit(s_, ri, gi)
                     off += cfg.batch_size
@@ -978,11 +1058,13 @@ def _run_pipeline_inner(
             _drain(
                 cfg, index, b, res, writer, cfg.max_winners,
                 reprobe=getattr(classifier, "reprobe", None),
+                groups=getattr(classifier, "groups", None),
             )
     for b, res in pending:
         _drain(
             cfg, index, b, res, writer, cfg.max_winners,
             reprobe=getattr(classifier, "reprobe", None),
+            groups=getattr(classifier, "groups", None),
         )
     writer.close()
     if own_ssv is not None:

@@ -166,6 +166,10 @@ def test_hashed_build_covers_all_positions(workload):
     mask = (1 << hmeta.lgB) - 1
 
     d3rows = np.flatnonzero(np.diff(index.offsets) >= 3)
+    from shark_tpu.classify.step import group_info
+
+    gi = group_info(index)
+    rows_mask = (1 << gi[2]) - 1 if gi is not None else 0xFFFFFFFF
 
     def decode(tag, payload, p):
         if tag == TAG_D1:
@@ -173,8 +177,8 @@ def test_hashed_build_covers_all_positions(workload):
         if tag == TAG_D2:
             return [payload & 0xFFFF, payload >> 16]
         assert tag == TAG_ROW
-        # payload indexes the COMPACTED deg>=3 row table
-        r = d3rows[payload]
+        # payload: compacted deg>=3 row index, gid in the high bits
+        r = d3rows[payload & rows_mask]
         lo, hi = index.offsets[r], index.offsets[r + 1]
         return index.gene_ids[lo:hi].tolist()
 

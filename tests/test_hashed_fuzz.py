@@ -181,6 +181,77 @@ def _reads_codes(rng, records, n_reads, read_len, L):
     return codes
 
 
+def _kernel_equal(index, codes, a, b):
+    ra = [np.asarray(x) for x in a(codes)]
+    rb = [np.asarray(x) for x in b(codes)]
+    for name, x, y in zip(("packed", "winners", "best_cov", "length"), ra, rb):
+        np.testing.assert_array_equal(x, y, err_msg=name)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_xl_vs_classic_fuzz(seed, monkeypatch):
+    """The GB-scale xl layout (16-byte rows, flag bit, side table) must
+    equal the classic kernel bit for bit — across pinned geometries that
+    force heavy bucket spills, a tiny XL_SIDE_CAP that forces the
+    full-width side branch, and the natural (auto) geometry."""
+    from shark_tpu.classify import hashed as H
+
+    rng = np.random.default_rng(100 + seed)
+    core = BASES[rng.integers(0, 4, size=60 + 10 * seed)].tobytes()
+    recs = []
+    for g in range(30 + 4 * seed):
+        seq = BASES[rng.integers(0, 4, size=500)].tobytes()
+        if g % 2 == 0:  # shared core -> deg>=3 rows -> TAG_ROW via side too
+            seq = seq[:200] + core + seq[200 + len(core) :]
+        recs.append((f"G{g}", seq))
+    index = build_index(recs, 11, 1 << 16)
+    codes = _reads_codes(rng, recs, n_reads=160, read_len=90, L=96)
+    classic = Classifier(index, max_winners=24, probe="classic")
+
+    # natural geometry
+    xl = Classifier(index, max_winners=24, probe="xl")
+    assert xl.probe == "xl" and xl._hmeta.xl
+    _kernel_equal(index, codes, classic, xl)
+
+    # pinned tight geometry -> guaranteed spills through the side table
+    forced = H.build_hashed_xl(index, lgB=13)
+    assert forced is not None and forced[3].has_side
+    monkeypatch.setattr(
+        H, "build_hashed_xl", lambda ix, **kw: forced
+    )
+    xl_sp = Classifier(index, max_winners=24, probe="xl")
+    _kernel_equal(index, codes, classic, xl_sp)
+
+    # tiny side cap -> reads exceed it -> the FULL-width side branch
+    monkeypatch.setattr(H, "XL_SIDE_CAP", 1)
+    xl_full = Classifier(index, max_winners=24, probe="xl")
+    _kernel_equal(index, codes, classic, xl_full)
+
+
+def test_xl_no_spill_geometry():
+    """A lightly-loaded xl table (no spills) must skip the side machinery
+    (has_side False) and still match classic."""
+    from shark_tpu.classify.hashed import build_hashed_xl
+
+    rng = np.random.default_rng(11)
+    recs = _random_records(rng, 6, 300)
+    index = build_index(recs, 17, 1 << 18)
+    built = build_hashed_xl(index, lgB=14)  # ~1.7k entries in 64k slots
+    assert built is not None
+    assert not built[3].has_side
+    codes = _reads_codes(rng, recs, n_reads=96, read_len=80, L=88)
+    from shark_tpu.classify import hashed as H
+
+    classic = Classifier(index, max_winners=8, probe="classic")
+    orig = H.build_hashed_xl
+    H.build_hashed_xl = lambda ix, **kw: built
+    try:
+        xl = Classifier(index, max_winners=8, probe="xl")
+    finally:
+        H.build_hashed_xl = orig
+    _kernel_equal(index, codes, classic, xl)
+
+
 GEOMETRIES = [
     # (size_bits, n_genes, gene_len, core_len, k) — regimes:
     (1 << 16, 30, 500, 0, 11),    # dense Bloom collisions, entry16

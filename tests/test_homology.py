@@ -362,7 +362,33 @@ def test_wide_rows_light_and_full_branches():
         assert gi.tolist() == want_g
 
 
-def test_extra_pair_stream_and_fallback(homolog_workload):
+def _pair_workload(rng_seed=7):
+    """10 families of TWO members sharing a 150bp core: core reads tie
+    across exactly two genes through the degree-2 DIRECT path (TAG_D2),
+    which is the tie shape that still rides the winner-pair stream now
+    that deg>=3 whole-set ties take the group fast path (PACK_GRP) and
+    never enter the stream."""
+    rng = np.random.default_rng(rng_seed)
+    records = []
+    for fam in range(10):
+        core = BASES[rng.integers(0, 4, size=150)]
+        for m in range(2):
+            left = BASES[rng.integers(0, 4, size=80)]
+            right = BASES[rng.integers(0, 4, size=80)]
+            records.append(
+                (f"P{fam}M{m}", np.concatenate([left, core, right]).tobytes())
+            )
+    index = build_index(records, K, SIZE_BITS)
+    oracle = build_oracle_index(records, K, SIZE_BITS)
+    reads = []
+    for _ in range(300):
+        _, seq = records[rng.integers(0, len(records))]
+        start = int(rng.integers(80, 230 - 90))  # inside the core: a tie
+        reads.append(seq[start : start + 90])
+    return index, oracle, reads
+
+
+def test_extra_pair_stream_and_fallback():
     """The compacted extra-winner pair fetch (pipeline._winner_pairs fast
     path) and its truncation fallback must both reproduce the oracle's
     association list exactly."""
@@ -370,8 +396,7 @@ def test_extra_pair_stream_and_fallback(homolog_workload):
     from shark_tpu.config import SharkConfig
     from shark_tpu.pipeline import _winner_pairs
 
-    index, oracle, reads = homolog_workload
-    # core-only reads -> every emitted read ties across the whole family
+    index, oracle, reads = _pair_workload()
     rng = np.random.default_rng(7)
     core_reads = []
     for _ in range(16):
@@ -401,7 +426,7 @@ def test_extra_pair_stream_and_fallback(homolog_workload):
     assert int((pairs != PAIR_SENTINEL).sum()) > 0
 
 
-def test_winner_pairs_speculative_stream(homolog_workload):
+def test_winner_pairs_speculative_stream():
     """A speculative pre-dispatched pair stream (pipeline speculation path)
     must give identical associations to the exact-cap recompute, an
     undersized speculation must be ignored, and spec_state must report a
@@ -410,7 +435,7 @@ def test_winner_pairs_speculative_stream(homolog_workload):
     from shark_tpu.config import SharkConfig
     from shark_tpu.pipeline import _winner_pairs
 
-    index, oracle, reads = homolog_workload
+    index, oracle, reads = _pair_workload(11)
     rng = np.random.default_rng(11)
     batch = [reads[int(rng.integers(0, len(reads)))] for _ in range(32)]
     L = 128
