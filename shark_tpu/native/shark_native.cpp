@@ -53,41 +53,109 @@ class LineReader {
   }
   bool ok() const { return gz_ != nullptr; }
 
-  // Fast path for the dominant FASTQ shape: a complete 4-line record
-  // (@name / seq / +... / qual, no CRLF, len(qual) == len(seq)) fully
-  // inside the buffer is assigned in ONE pass with no per-line string
-  // churn. Returns false (with pos_ untouched) whenever the window
-  // doesn't match — the caller's general kseq-style path then handles
-  // multi-line records, CRLF, FASTA headers, and buffer refills.
-  bool fast_fastq(Record& r) {
-    if (len_ - pos_ < (1 << 14) && gz_ && !src_eof_) refill_();
-    if (pos_ >= len_ || buf_[pos_] != '@') return false;
+  // Line boundaries of one complete 4-line FASTQ record in the buffer.
+  struct Rec4 {
+    char *l0, *n0, *l1, *n1, *l3, *n3;  // header/seq/qual line [start, \n)
+  };
+
+  // Validate a complete 4-line FASTQ record (@name / seq / +... / qual,
+  // no CRLF, len(qual) == len(seq) > 0) at buffer offset `at`. No refill,
+  // no copies. The general kseq-style path handles everything this
+  // rejects: multi-line records, CRLF, FASTA headers, buffer-straddling
+  // records.
+  bool probe4_(size_t at, Rec4& o) {
+    if ((int)at >= len_ || buf_[at] != '@') return false;
     char* end = buf_ + len_;
-    char* l0 = buf_ + pos_;
-    char* n0 = (char*)memchr(l0, '\n', end - l0);
-    if (!n0) return false;
-    char* l1 = n0 + 1;
-    char* n1 = (char*)memchr(l1, '\n', end - l1);
-    if (!n1) return false;
-    char* l2 = n1 + 1;
+    o.l0 = buf_ + at;
+    o.n0 = (char*)memchr(o.l0, '\n', end - o.l0);
+    if (!o.n0) return false;
+    o.l1 = o.n0 + 1;
+    o.n1 = (char*)memchr(o.l1, '\n', end - o.l1);
+    if (!o.n1) return false;
+    char* l2 = o.n1 + 1;
     if (l2 >= end || *l2 != '+') return false;
     char* n2 = (char*)memchr(l2, '\n', end - l2);
     if (!n2) return false;
-    char* l3 = n2 + 1;
-    char* n3 = (char*)memchr(l3, '\n', end - l3);
-    if (!n3) return false;
-    size_t slen = (size_t)(n1 - l1), qlen = (size_t)(n3 - l3);
+    o.l3 = n2 + 1;
+    o.n3 = (char*)memchr(o.l3, '\n', end - o.l3);
+    if (!o.n3) return false;
+    size_t slen = (size_t)(o.n1 - o.l1), qlen = (size_t)(o.n3 - o.l3);
     if (slen == 0 || slen != qlen) return false;
-    if (n0[-1] == '\r' || n1[-1] == '\r' || n2[-1] == '\r' ||
-        n3[-1] == '\r')
+    if (o.n0[-1] == '\r' || o.n1[-1] == '\r' || n2[-1] == '\r' ||
+        o.n3[-1] == '\r')
       return false;
-    char* sp = l0 + 1;
-    while (sp < n0 && *sp != ' ' && *sp != '\t') sp++;
-    r.name.assign(l0 + 1, (size_t)(sp - (l0 + 1)));
-    r.seq.assign(l1, slen);
-    r.qual.assign(l3, qlen);
-    pos_ = (int)(n3 + 1 - buf_);
     return true;
+  }
+
+  // Fast path for the dominant FASTQ shape: a complete in-buffer 4-line
+  // record is assigned in ONE pass with no per-line string churn. Returns
+  // false (pos_ untouched) whenever the window doesn't match.
+  bool fast_fastq(Record& r) {
+    if (len_ - pos_ < (1 << 14) && gz_ && !src_eof_) refill_();
+    Rec4 o;
+    if (!probe4_(pos_, o)) return false;
+    char* sp = o.l0 + 1;
+    while (sp < o.n0 && *sp != ' ' && *sp != '\t') sp++;
+    r.name.assign(o.l0 + 1, (size_t)(sp - (o.l0 + 1)));
+    r.seq.assign(o.l1, (size_t)(o.n1 - o.l1));
+    r.qual.assign(o.l3, (size_t)(o.n3 - o.l3));
+    pos_ = (int)(o.n3 + 1 - buf_);
+    return true;
+  }
+
+  // Structure-only fast path: sequence LENGTH of the next record, no
+  // copies at all (the --max-read-len auto pre-scan is parse-bound).
+  bool fast_len(long& out) {
+    if (len_ - pos_ < (1 << 14) && gz_ && !src_eof_) refill_();
+    Rec4 o;
+    if (!probe4_(pos_, o)) return false;
+    out = (long)(o.n1 - o.l1);
+    pos_ = (int)(o.n3 + 1 - buf_);
+    return true;
+  }
+
+  // Bulk structure scan: up to `maxn` complete 4-line records are
+  // appended to `raw` as ONE verbatim span memcpy, with 5 uint32 offsets
+  // per record pushed to `offs` — {name_off, name_len, seq_off, seq_len,
+  // qual_off}, all relative to raw.data() (qual_len == seq_len). This is
+  // the parse fast path: the producer thread does only memchr structure
+  // validation plus one big copy; per-record string materialization never
+  // happens (encode and emit read the spans in place). Returns records
+  // scanned; 0 = next record needs the general path (or EOF).
+  int fast_scan(std::vector<char>& raw, std::vector<uint32_t>& offs,
+                int maxn) {
+    int scanned = 0;
+    size_t span_start = 0;
+    size_t base = raw.size(), off0 = offs.size();
+    while (scanned < maxn) {
+      if (len_ - pos_ < (1 << 14) && gz_ && !src_eof_) {
+        if (scanned) break;  // copy out before refill_ moves the buffer
+        refill_();
+      }
+      Rec4 o;
+      if (!probe4_(pos_, o)) break;
+      if (!scanned) span_start = pos_;
+      char* sp = o.l0 + 1;
+      while (sp < o.n0 && *sp != ' ' && *sp != '\t') sp++;
+      offs.push_back((uint32_t)(o.l0 + 1 - buf_));
+      offs.push_back((uint32_t)(sp - (o.l0 + 1)));
+      offs.push_back((uint32_t)(o.l1 - buf_));
+      offs.push_back((uint32_t)(o.n1 - o.l1));
+      offs.push_back((uint32_t)(o.l3 - buf_));
+      pos_ = (int)(o.n3 + 1 - buf_);
+      scanned++;
+    }
+    if (scanned) {
+      raw.insert(raw.end(), buf_ + span_start, buf_ + pos_);
+      // rebase this call's buffer offsets onto raw coordinates
+      int64_t delta = (int64_t)base - (int64_t)span_start;
+      for (size_t i = off0; i < offs.size(); i += 5) {
+        offs[i] = (uint32_t)((int64_t)offs[i] + delta);
+        offs[i + 2] = (uint32_t)((int64_t)offs[i + 2] + delta);
+        offs[i + 4] = (uint32_t)((int64_t)offs[i + 4] + delta);
+      }
+    }
+    return scanned;
   }
 
   // A truncated or corrupt gzip stream must surface as an ERROR, not a
@@ -204,6 +272,24 @@ class FastxReader {
     return -1;  // header without a '+' line: malformed
   }
 
+  // Bulk structure scan (see LineReader::fast_scan). Only valid between
+  // whole records (never after a lookahead header was buffered).
+  int fast_scan(std::vector<char>& raw, std::vector<uint32_t>& offs,
+                int maxn) {
+    if (have_header_) return 0;
+    return lr_.fast_scan(raw, offs, maxn);
+  }
+
+  // Sequence length of the next record without materializing it when the
+  // fast path applies. Same 1/0/-1 contract as next().
+  int next_len(long& out) {
+    if (!have_header_ && lr_.fast_len(out)) return 1;
+    Record r;
+    int rc = next(r);
+    if (rc == 1) out = (long)r.seq.size();
+    return rc;
+  }
+
   // Non-null iff the underlying stream failed (vs a malformed record).
   const char* stream_error() const {
     return lr_.bad() ? "truncated or corrupt input stream (gzip error)"
@@ -249,12 +335,47 @@ void scan_canonical(const std::string& seq, int k, F&& f) {
   }
 }
 
+// Borrowed view of one record's fields — either spans into a Batch's raw
+// byte block (fast-scanned records; zero string churn) or into a
+// materialized Record (general-path records). Valid while the ring slot
+// stays pinned.
+struct RecView {
+  const char* name;
+  uint32_t name_len;
+  const char* seq;
+  uint32_t seq_len;
+  const char* qual;
+  uint32_t qual_len;
+};
+
 struct Batch {
   std::vector<Record> r1, r2;
+  // fast-path storage: the first n_rawX records of side X live as
+  // verbatim spans in rawX with 5 uint32 offsets per record in offsX
+  // (LineReader::fast_scan layout); records past the raw prefix are
+  // materialized in r1/r2 by the producer's general path
+  std::vector<char> raw1, raw2;
+  std::vector<uint32_t> offs1, offs2;
+  int n_raw1 = 0, n_raw2 = 0;
   std::vector<uint8_t> codes;  // [batch_size, max_len] byte codes
   std::vector<uint8_t> packed;  // [batch_size, max_len/4] 2-bit codes
   std::vector<uint8_t> vmask;  // [batch_size, max_len/8] validity bits
   int n = 0;
+
+  RecView view(int side, int i) const {
+    const std::vector<char>& raw = side ? raw2 : raw1;
+    const std::vector<uint32_t>& offs = side ? offs2 : offs1;
+    int n_raw = side ? n_raw2 : n_raw1;
+    if (i < n_raw) {
+      const uint32_t* o = offs.data() + 5 * (size_t)i;
+      return {raw.data() + o[0], o[1], raw.data() + o[2], o[3],
+              raw.data() + o[4], o[3]};
+    }
+    const Record& r = side ? r2[i] : r1[i];
+    return {r.name.data(), (uint32_t)r.name.size(),
+            r.seq.data(),  (uint32_t)r.seq.size(),
+            r.qual.data(), (uint32_t)r.qual.size()};
+  }
   // slot lifecycle: the parser thread takes FREE slots in order and marks
   // them PARSED; an encoder thread claims a PARSED slot (ENCODING) and
   // encodes/masks/packs it into FILLED — with several encoder threads
@@ -360,15 +481,13 @@ struct Stream {
   long err_batch_id = -1;
 };
 
-void encode_into(const Record& r, uint8_t* dst, int cap, int off,
+void encode_into(const char* s, int n, uint8_t* dst, int cap, int off,
                  bool* overflow) {
-  int n = (int)r.seq.size();
   if (off + n > cap) {
     *overflow = true;
     n = cap - off;
     if (n <= 0) return;
   }
-  const char* s = r.seq.data();
   for (int i = 0; i < n; i++) dst[off + i] = CODE[(uint8_t)s[i]];
 }
 
@@ -378,18 +497,18 @@ void encode_into(const Record& r, uint8_t* dst, int cap, int off,
 // qual1 (+ '\33' + qual2 for pairs). For FASTQ input qual length equals seq
 // length so this is per-base; FASTA records have empty qual (no masking for
 // single-end; pairs mask exactly fused position len(qual1)).
-void mask_row(const Record& r1, const Record* r2, int min_quality,
+void mask_row(const RecView& r1, const RecView* r2, int min_quality,
               uint8_t* dst, int cap) {
   char cut = (char)(min_quality + 33);
-  int n1 = (int)std::min((size_t)cap, r1.qual.size());
-  const char* q1 = r1.qual.data();
+  int n1 = (int)std::min((uint32_t)cap, r1.qual_len);
+  const char* q1 = r1.qual;
   for (int i = 0; i < n1; i++)
     if (q1[i] < cut) dst[i] = 4;
   if (!r2) return;
-  int j = (int)r1.qual.size();  // fused junction byte '\33' always < cut
+  int j = (int)r1.qual_len;  // fused junction byte '\33' always < cut
   if (j < cap) dst[j] = 4;
-  const char* q2 = r2->qual.data();
-  int n2 = (int)r2->qual.size();
+  const char* q2 = r2->qual;
+  int n2 = (int)r2->qual_len;
   for (int i = 0; i < n2 && j + 1 + i < cap; i++)
     if (q2[i] < cut) dst[j + 1 + i] = 4;
 }
