@@ -340,14 +340,27 @@ def main() -> None:
     def primary_out(best):
         value = best["n_reads"] / best["classify_s"]
         probes_s = value * (MAX_LEN - K + 1)
-        return {
+        res = {
             "metric": "reads_per_sec",
             "value": round(value, 1),
             "unit": "reads/s",
             "vs_baseline": round(value / base["reads_per_sec"], 3),
             "probes_per_sec": round(probes_s, 0),
             "pct_gather_ceiling": round(100 * probes_s / ceiling[0], 1),
+            # the active host path, LOUD: round 3's artifact silently
+            # measured the Python fallback (native engine uncompilable) and
+            # the only tell was this key's ABSENCE — it is now always
+            # present, with an explicit warning when the native engine is
+            # dark (see VERDICT.md round 3)
+            "native": bool(best.get("native", False)),
         }
+        if not res["native"]:
+            res["warning"] = (
+                "PYTHON HOST PATH: native engine unavailable — throughput "
+                "is not representative of the committed engine"
+            )
+            log("WARNING: " + res["warning"])
+        return res
 
     out = primary_out(ours)
 

@@ -5,6 +5,23 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== native engine gate =="
+# Fail LOUDLY if the native engine cannot build while g++ exists (round 3:
+# a broken .cpp passed CI green because every native test skips and the
+# golden run silently fell back to the Python path).
+python - <<'EOF'
+import shutil, sys
+if shutil.which("g++") is None:
+    print("no g++ on PATH; Python fallback (correctness-only) mode")
+else:
+    from shark_tpu.io import native
+    if not native.available():
+        print("FATAL: g++ present but the native engine failed to build",
+              file=sys.stderr)
+        sys.exit(1)
+    print("native engine: OK")
+EOF
+
 echo "== fast suite (CPU) =="
 python -m pytest tests/ -q -m "not slow"
 

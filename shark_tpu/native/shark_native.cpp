@@ -127,6 +127,10 @@ class LineReader {
     int scanned = 0;
     size_t span_start = 0;
     size_t base = raw.size(), off0 = offs.size();
+    // offsets are uint32 relative to raw.data(): refuse to scan past the
+    // 4 GiB mark rather than silently wrap (batches are cleared per call
+    // in practice, but the ABI must not depend on that)
+    if (base + sizeof(buf_) > UINT32_MAX) return 0;
     while (scanned < maxn) {
       if (len_ - pos_ < (1 << 14) && gz_ && !src_eof_) {
         if (scanned) break;  // copy out before refill_ moves the buffer
@@ -545,11 +549,37 @@ void pack_row(const uint8_t* codes, int L, uint8_t* packed, uint8_t* vmask) {
 int parse_batch(Stream* s, Batch& b) {
   b.r1.resize(s->batch_size);
   if (s->paired) b.r2.resize(s->batch_size);
+  b.raw1.clear();
+  b.offs1.clear();
+  b.raw2.clear();
+  b.offs2.clear();
+  // Fast path: bulk structure scans fill a span prefix per side with no
+  // per-record string materialization (the producer does only memchr
+  // validation + one big memcpy per scan). Each side's prefix length is
+  // independent; view() serves spans below n_rawX and Records above.
+  b.n_raw1 = 0;
+  while (b.n_raw1 < s->batch_size) {
+    int got = s->f1->fast_scan(b.raw1, b.offs1, s->batch_size - b.n_raw1);
+    if (got <= 0) break;
+    b.n_raw1 += got;
+  }
+  b.n_raw2 = 0;
+  if (s->paired) {
+    // never scan side 2 past side 1's count: reference semantics stop at
+    // either EOF, and over-consumed side-2 records would be lost to the
+    // next batch if side 1 (the batch-count side) came up short here
+    while (b.n_raw2 < b.n_raw1) {
+      int got = s->f2->fast_scan(b.raw2, b.offs2, b.n_raw1 - b.n_raw2);
+      if (got <= 0) break;
+      b.n_raw2 += got;
+    }
+  }
   int n = 0;
   int rc1 = 0, rc2 = 0;
   while (n < s->batch_size) {
-    if ((rc1 = s->f1->next(b.r1[n])) <= 0) break;
-    if (s->paired && (rc2 = s->f2->next(b.r2[n])) <= 0)
+    if (n >= b.n_raw1 && (rc1 = s->f1->next(b.r1[n])) <= 0) break;
+    if (s->paired && n >= b.n_raw2 &&
+        (rc2 = s->f2->next(b.r2[n])) <= 0)
       break;  // reference stops when either file ends
     n++;
   }
@@ -578,13 +608,16 @@ int encode_batch_rows(Stream* s, Batch& b, std::string& err) {
   bool overflow = false;
   for (int i = 0; i < b.n; i++) {
     uint8_t* row = b.codes.data() + (size_t)i * row_bytes;
-    encode_into(b.r1[i], row, s->max_len, 0, &overflow);
+    RecView v1 = b.view(0, i);
+    RecView v2{};
+    if (s->paired) v2 = b.view(1, i);
+    encode_into(v1.seq, (int)v1.seq_len, row, s->max_len, 0, &overflow);
     if (s->paired) {
-      int off = (int)b.r1[i].seq.size() + 1;  // invalid separator column
-      encode_into(b.r2[i], row, s->max_len, off, &overflow);
+      int off = (int)v1.seq_len + 1;  // invalid separator column
+      encode_into(v2.seq, (int)v2.seq_len, row, s->max_len, off, &overflow);
     }
     if (s->min_quality > 0)
-      mask_row(b.r1[i], s->paired ? &b.r2[i] : nullptr, s->min_quality, row,
+      mask_row(v1, s->paired ? &v2 : nullptr, s->min_quality, row,
                s->max_len);
   }
   if (overflow) {
@@ -776,18 +809,18 @@ long shk_scan_max_fused(const char* fq1, const char* fq2) {
     f2.reset(new FastxReader(fq2));
     if (!f2->ok()) return -1;
   }
-  Record r1, r2;
   long best = 0;
   while (true) {
-    int rc1 = f1.next(r1);
+    long len1 = 0, len2 = 0;
+    int rc1 = f1.next_len(len1);
     if (rc1 < 0) return -2;
     if (rc1 == 0) break;
-    long fused = (long)r1.seq.size();
+    long fused = len1;
     if (paired) {
-      int rc2 = f2->next(r2);
+      int rc2 = f2->next_len(len2);
       if (rc2 < 0) return -2;
       if (rc2 == 0) break;  // reference stops when either file ends
-      fused += 1 + (long)r2.seq.size();
+      fused += 1 + len2;
     }
     if (fused > best) best = fused;
   }
@@ -839,13 +872,13 @@ void shk_register_genes(void* h, const char** names, int n) {
   s->gene_names.assign(names, names + n);
 }
 
-static void write_fastq(OutFile& f, const Record& r) {
+static void write_fastq(OutFile& f, const RecView& r) {
   f.put('@');
-  f.write(r.name.data(), r.name.size());
+  f.write(r.name, r.name_len);
   f.put('\n');
-  f.write(r.seq.data(), r.seq.size());
+  f.write(r.seq, r.seq_len);
   f.write("\n+\n", 3);
-  f.write(r.qual.data(), r.qual.size());
+  f.write(r.qual, r.qual_len);
   f.put('\n');
 }
 
@@ -874,8 +907,8 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
   for (int i = 0; i < n_assoc; i++) {
     int r = read_idx[i];
     int g = gene_idx[i];
-    const Record& rec = b.r1[r];
-    line.append(rec.name);
+    RecView rec = b.view(0, r);
+    line.append(rec.name, rec.name_len);
     line.push_back(' ');
     line.append(s->gene_names[g]);
     line.push_back('\n');
@@ -883,7 +916,7 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
     if (r != prev) {
       s->n_reads_out++;
       if (s->out1.is_open()) write_fastq(s->out1, rec);
-      if (s->out2.is_open() && s->paired) write_fastq(s->out2, b.r2[r]);
+      if (s->out2.is_open() && s->paired) write_fastq(s->out2, b.view(1, r));
       prev = r;
     }
   }
