@@ -143,6 +143,7 @@ def _winner_pairs(
     spec=None,
     spec_state: Optional[dict] = None,
     groups=None,
+    counters: Optional[dict] = None,
 ):
     """Device result -> (read_idx, gene_idx) association arrays, read-ascending,
     genes ascending within a read (the reference's emission order,
@@ -165,6 +166,10 @@ def _winner_pairs(
         packed_np=packed_np, reprobe=reprobe, spec=spec,
         spec_state=spec_state,
     )
+    if counters is not None:
+        counters["group_rows"] = counters.get("group_rows", 0) + int(
+            grp_rows.size
+        )
     if grp_rows.size == 0:
         return ri1, gi1
     if groups is None:
@@ -568,6 +573,7 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     # overlaps later device work; the drain then just reads the result).
     # Written by the drain thread, read by the main thread (GIL-safe).
     spec_state = {"cap": 0}
+    counters = {"group_rows": 0}  # device GROUP verdicts seen (tests)
 
     def drainer():
         while True:
@@ -593,6 +599,7 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
                         spec=spec_,
                         spec_state=spec_state,
                         groups=getattr(classifier, "groups", None),
+                        counters=counters,
                     )
                     ns.emit(s_, ri, gi)
                     off += cfg.batch_size
@@ -711,6 +718,7 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
         "classify_s": elapsed - warm_s,
         "native": True,
         "fetch_groups": n_groups[0],
+        "group_rows": counters["group_rows"],
         "probe": getattr(classifier, "probe", "sharded"),
     }
     if reads_done0:

@@ -486,3 +486,111 @@ def test_native_pipeline_classic_probe_golden(example_dir, tmp_path):
     )
     assert stats["probe"] == "classic"
     assert stats["n_reads"] == 5000
+
+
+@pytest.mark.slow
+def test_native_pipeline_group_golden(tmp_path):
+    """Homolog families through the FULL native pipeline: device GROUP
+    verdicts (tie-heavy reads scored as one deduped gene set) expand on
+    host and merge with the direct pair stream (_winner_pairs,
+    pipeline.py) before flowing through the ORDERED native writer. Pins
+    ssv against the pure-host oracle and both FASTQs against the Python
+    path, byte-for-byte, and asserts the group path actually engaged.
+    Reference emission semantics: ReadAnalyzer.hpp:90-108 +
+    ReadOutput.hpp:37-50."""
+    from shark_tpu.classify.oracle import build_oracle_index, classify_read
+    from shark_tpu.config import SharkConfig
+    from shark_tpu.ops.kmers import encode_bytes
+    from shark_tpu.pipeline import run_pipeline
+
+    rng = np.random.default_rng(4242)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    k = 15
+    genes, cores = [], []
+    for fam in range(6):
+        core = bases[rng.integers(0, 4, size=150)].tobytes()
+        cores.append(core)
+        for m in range(5):  # 5 identical cores -> deg-5 tie rows -> GROUP
+            flank5 = bases[rng.integers(0, 4, size=80)].tobytes()
+            flank3 = bases[rng.integers(0, 4, size=80)].tobytes()
+            genes.append((f"F{fam}M{m}", flank5 + core + flank3))
+    fa = tmp_path / "fam.fa"
+    fa.write_bytes(
+        b"".join(b">%s\n%s\n" % (n.encode(), s) for n, s in genes)
+    )
+
+    # Interleave read kinds so every batch mixes group verdicts, direct
+    # verdicts, impure reads, and unclassified reads through the
+    # per-read-offset merge (each read's pairs live in exactly one source).
+    reads1, reads2 = [], []
+    for i in range(400):
+        kind = i % 3
+        if kind == 0:  # both mates from one family core: pure group read
+            core = cores[int(rng.integers(0, len(cores)))]
+            st = int(rng.integers(0, len(core) - 70))
+            r1 = core[st : st + 70]
+            st = int(rng.integers(0, len(core) - 70))
+            r2 = core[st : st + 70]
+        elif kind == 1:  # flank window: direct verdict; st>10 also mixes
+            _, gseq = genes[int(rng.integers(0, len(genes)))]
+            st = int(rng.integers(0, 60))
+            r1 = gseq[st : st + 70]
+            r2 = gseq[st : st + 70]
+        else:  # junk: no verdict
+            r1 = bases[rng.integers(0, 4, size=70)].tobytes()
+            r2 = bases[rng.integers(0, 4, size=70)].tobytes()
+        reads1.append(r1)
+        reads2.append(r2)
+
+    def write_fq(path, rs):
+        path.write_bytes(
+            b"".join(
+                b"@r%04d\n%s\n+\n%s\n" % (i, r, b"I" * len(r))
+                for i, r in enumerate(rs)
+            )
+        )
+
+    fq1, fq2 = tmp_path / "s_1.fq", tmp_path / "s_2.fq"
+    write_fq(fq1, reads1)
+    write_fq(fq2, reads2)
+
+    outs = {}
+    for mode in ("native", "python"):
+        cfg = SharkConfig(
+            fasta_path=str(fa),
+            sample1_path=str(fq1),
+            sample2_path=str(fq2),
+            out1_path=str(tmp_path / f"{mode}.1.fq"),
+            out2_path=str(tmp_path / f"{mode}.2.fq"),
+            ssv_path=str(tmp_path / f"{mode}.ssv"),
+            k=k,
+            batch_size=64,  # 7 batches
+            max_read_len=144,  # 70 + 1 + 70 fused, %8
+            fetch_group=2,  # uneven final flush group
+            use_native=(mode == "native"),
+        )
+        stats = run_pipeline(cfg)
+        assert stats.get("native", False) == (mode == "native")
+        if mode == "native":
+            assert stats["group_rows"] > 50, "group fast path never engaged"
+        outs[mode] = {
+            "ssv": (tmp_path / f"{mode}.ssv").read_text(),
+            "fq1": (tmp_path / f"{mode}.1.fq").read_bytes(),
+            "fq2": (tmp_path / f"{mode}.2.fq").read_bytes(),
+        }
+
+    cfg0 = SharkConfig()
+    oracle = build_oracle_index(genes, k, cfg0.bf_gb * (1 << 33))
+    lines = []
+    for i, (r1, r2) in enumerate(zip(reads1, reads2)):
+        wins, _, _ = classify_read(
+            oracle, encode_bytes(r1 + b"N" + r2), cfg0.c, False
+        )
+        for g in wins:
+            lines.append(f"r{i:04d} {genes[g][0]}\n")
+    want = "".join(lines)
+
+    assert outs["native"]["ssv"] == want
+    assert outs["python"]["ssv"] == want
+    assert outs["native"]["fq1"] == outs["python"]["fq1"]
+    assert outs["native"]["fq2"] == outs["python"]["fq2"]
