@@ -61,7 +61,6 @@ from shark_tpu.classify.step import (
     TAG_ROW,
     StaticMeta,
     bloom_positions,
-    compact_true_cols,
     finish_from_tags,
     take_rows,
     unpack_codes,
@@ -94,7 +93,7 @@ MAX_BUCKETS = MAX_TABLE_BYTES // (8 * BUCKET_SLOTS)
 XL_SLOTS = 4
 XL_REST_BITS = 13
 XL_FLAG_BIT = 29  # u32 bit of slot-0's word: bucket-overflow flag
-XL_SIDE_CAP = 16  # compacted side-lookup columns per read
+XL_SIDE_CAP = 8  # compacted side-lookup columns per read
 XL_SIDE_STASH_CAP = 128
 XL_MAX_LGB = 30
 
@@ -571,7 +570,17 @@ def _xl_side_resolve(
     where some read exceeds the cap takes a full-width side gather
     instead (exact either way), and side-free batches skip everything
     under the outer cond. A window in need_side matched NOTHING in the
-    main row (tag 0), so merging side results is a plain overwrite."""
+    main row (tag 0), so merging side results is a plain overwrite.
+
+    Cost discipline (bench/profile_xl.py, v5e in-session): every
+    [B, CAP]-row gather/scatter pays the ~8 ns/row ISSUE cost, so the
+    resolve is budgeted in row-ops. The first version spent 62 ms/batch
+    (38% of the xl kernel) on 7 row-ops at CAP=16; this one does 5 at
+    CAP=8 — invalid compaction lanes scatter into a DUMP column that is
+    sliced off, which deletes the two original-value take_along_axis
+    writebacks, and CAP=8 still bounds the Binomial(Ls, ~0.6%) per-read
+    side demand far past the max over 64k reads (the full branch keeps
+    heavier batches exact)."""
     import jax
 
     B, Ls = need_side.shape
@@ -606,17 +615,33 @@ def _xl_side_resolve(
     )
 
     def compact_branch(_):
-        scol, svalid, _ = compact_true_cols(need_side, col_iota, XL_SIDE_CAP)
+        # ascending-column compaction; invalid lanes keep the sentinel Ls
+        # so they scatter into the dump column below (valid columns are
+        # distinct, so scatter order never matters)
+        need_col = jnp.where(need_side, col_iota, Ls)
+        scol_s = jnp.sort(need_col, axis=1)[:, :XL_SIDE_CAP]
+        svalid = scol_s < Ls
+        scol = jnp.minimum(scol_s, Ls - 1)
+        # (Fusing lo/hi into one 2-element-row gather and (tag,pay) into
+        # one [B,Ls+1,2] scatter measured a 12 ms/batch LOSS — the
+        # interleaved stack/unstack relayouts cost more than the saved
+        # per-row issue ops. Separate [B, CAP] ops stay.)
         lo = jnp.take_along_axis(idx_lo, scol, axis=1)
         hi = jnp.take_along_axis(idx_hi, scol, axis=1)
         rows = take_rows(dix.side, (lo & mask2).astype(jnp.int32))
         t, p = match_side(rows, lo, hi, svalid)
-        # invalid (clamped-duplicate) lanes write back the original value,
-        # so scatter order never matters; valid columns are distinct
-        new_t = jnp.where(svalid, t, jnp.take_along_axis(tagv, scol, axis=1))
-        new_p = jnp.where(svalid, p, jnp.take_along_axis(payv, scol, axis=1))
+        # a need_side window's original (tagv, payv) is (0, 0) — matched
+        # nothing in the main row — so the side result overwrites it even
+        # when the side also misses (t == 0); invalid lanes land in the
+        # dump column Ls, which the slice drops
         rix = jnp.arange(B, dtype=jnp.int32)[:, None]
-        return tagv.at[rix, scol].set(new_t), payv.at[rix, scol].set(new_p)
+        pad = jnp.zeros((B, 1), tagv.dtype)
+        new_t = jnp.concatenate([tagv, pad], axis=1)
+        new_p = jnp.concatenate([payv, pad], axis=1)
+        return (
+            new_t.at[rix, scol_s].set(t)[:, :Ls],
+            new_p.at[rix, scol_s].set(p)[:, :Ls],
+        )
 
     def full_branch(_):
         rows = take_rows(dix.side, (idx_lo & mask2).astype(jnp.int32))
