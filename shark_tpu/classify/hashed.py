@@ -124,17 +124,26 @@ class HashedMeta:
 
 def _set_bit_positions(index: SharkIndex) -> np.ndarray:
     """Ascending positions of set Bloom bits (uint64), aligned with CSR
-    rank order."""
-    nzw = np.flatnonzero(index.bf_words)
-    w = index.bf_words[nzw]
-    base = nzw.astype(np.uint64) << np.uint64(5)
-    parts = []
-    for b in range(32):
-        sel = (w >> np.uint32(b)) & np.uint32(1) == 1
-        parts.append(base[sel] | np.uint64(b))
-    pos = np.concatenate(parts) if parts else np.empty(0, np.uint64)
-    pos.sort()
-    return pos
+    rank order.
+
+    Chunked unpackbits keeps this linear: the prior per-bit-lane pass
+    (32 masked selects + a final 72M-u64 sort) cost 25.3 s at
+    transcriptome scale vs ~4 s for this (bench/profile_xl.py notes in
+    docs/PERF.md "XL build cost"). Little-endian bit order of the u32
+    byte view matches p = word*32 + bit exactly."""
+    bw = index.bf_words
+    n = int(index.n_set_bits)
+    out = np.empty(n, np.uint64)
+    u8 = bw.view(np.uint8)
+    CH = 1 << 24  # bytes per chunk (128 MB of unpacked bools)
+    o = 0
+    for s in range(0, u8.size, CH):
+        bits = np.unpackbits(u8[s : s + CH], bitorder="little")
+        nz = np.flatnonzero(bits)
+        out[o : o + nz.size] = nz.astype(np.uint64) + np.uint64(s * 8)
+        o += nz.size
+    assert o == n, (o, n)
+    return out
 
 
 def _entry_streams(index: SharkIndex):
@@ -159,6 +168,19 @@ def _entry_streams(index: SharkIndex):
 
         payload[d3] = rows3_payload(index)  # rows3 index (+ gid bits)
     return pos, tag, payload, bool(d3.any()), deg
+
+
+def _demand_bincount(pos: np.ndarray, need, lgB: int) -> np.ndarray:
+    """Per-bucket slot-word demand (int64[2^lgB]). Integer bincounts: the
+    float-weights form costs 4 s at 72M entries; deg>=2 entries are rare,
+    so counting them as a second tiny bincount is ~2.5x faster."""
+    b = (pos & np.uint64((1 << lgB) - 1)).astype(np.int64)
+    d = np.bincount(b, minlength=1 << lgB)
+    if need is not None:
+        extra = b[need == 2]
+        if extra.size:
+            d = d + np.bincount(extra, minlength=1 << lgB)
+    return d
 
 
 def build_hashed_index(
@@ -233,11 +255,7 @@ def build_hashed_index(
         need = need16 if entry16 else None
         limit = STASH_CAP if (last and not entry16) else SMALL_STASH
         # cheap slot-demand bound before the exact pack
-        demand = np.bincount(
-            (pos & np.uint64((1 << lgB) - 1)).astype(np.int64),
-            weights=need.astype(np.float64) if need is not None else None,
-            minlength=1 << lgB,
-        )
+        demand = _demand_bincount(pos, need, lgB)
         if int((demand - slots).clip(min=0).sum()) > 2 * limit + 2:
             continue
         built = _pack_table(pos, tag, payload, need, lgB, entry16, slots)
@@ -302,11 +320,7 @@ def build_hashed_xl(
         # take the smallest table whose overflow bound stays ~1.5%
         spill_cap = max(n_set // 64, 1024)
         for c in cands:
-            demand_c = np.bincount(
-                (pos & np.uint64((1 << c) - 1)).astype(np.int64),
-                weights=need.astype(np.float64),
-                minlength=1 << c,
-            )
+            demand_c = _demand_bincount(pos, need, c)
             bound = int((demand_c - XL_SLOTS).clip(min=0).sum())
             if bound <= 2 * spill_cap or c == cands[-1]:
                 cands = [c]
@@ -377,27 +391,41 @@ def _pack_table(
     entry16: bool,
     slots: int = BUCKET_SLOTS,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """(table, stash_rows) for one (layout, bucket-count) candidate."""
+    """(table, stash_rows) for one (layout, bucket-count) candidate.
+
+    Host-cost discipline (profiled at the 72M-entry xl scale, see
+    docs/PERF.md "XL build cost"): sort ONE u32 key and gather only the
+    three arrays the fill needs (bucket/need are re-derived elementwise —
+    a 72M random gather costs ~2.6 s, the derivation ~0.3 s), and the
+    per-bucket slot offsets come from one maximum.accumulate instead of
+    a flatnonzero + two concatenates + a 72M np.repeat (15.9 -> ~2 s)."""
     n_set = pos.size
     n_buckets = 1 << lgB
-    bucket = (pos & np.uint64(n_buckets - 1)).astype(np.int64)
+    bucket = (pos & np.uint64(n_buckets - 1)).astype(np.uint32)
     order = np.argsort(bucket, kind="stable")
-    bucket_s = bucket[order]
     pos_s = pos[order]
     tag_s = tag[order].astype(np.uint32)
     pay_s = payload[order]
-    need_s = (
-        need[order] if need is not None else np.ones(n_set, np.int64)
-    )
-    # bucket_s is sorted: boundaries by diff, NOT np.unique (which
-    # re-sorts — measured 49.5 s alone at the 72M-entry xl scale)
-    starts = np.flatnonzero(
-        np.concatenate([[True], bucket_s[1:] != bucket_s[:-1]])
-    )
-    counts = np.diff(np.concatenate([starts, [n_set]]))
+    bucket_s = (pos_s & np.uint64(n_buckets - 1)).astype(np.int64)
+    if need is not None:
+        # need is always where(deg==1, 1, 2) and tag is TAG_D1 iff deg==1
+        # (build_hashed_index/_xl), so re-derive instead of gathering;
+        # spot-check the contract on a sample
+        sample = np.linspace(0, n_set - 1, num=min(n_set, 512), dtype=np.int64)
+        assert (
+            (need[sample] == 1) == (tag[sample] == TAG_D1)
+        ).all(), "need/tag contract violated"
+        need_s = np.where(tag_s == TAG_D1, 1, 2).astype(np.int64)
+    else:
+        need_s = np.ones(n_set, np.int64)
     csum = np.cumsum(need_s)
-    base = np.repeat((csum - need_s)[starts], counts)
-    slot = (csum - need_s) - base  # first slot offset within the bucket
+    start = csum - need_s  # nondecreasing
+    is_first = np.empty(n_set, bool)
+    if n_set:
+        is_first[0] = True
+        is_first[1:] = bucket_s[1:] != bucket_s[:-1]
+    base = np.maximum.accumulate(np.where(is_first, start, 0))
+    slot = start - base  # first slot offset within the bucket
     in_table = slot + need_s <= slots
     spill = np.flatnonzero(~in_table)
 
