@@ -76,6 +76,16 @@ EXT_CAP2 = 16  # max extension-escaping windows per read before host redo
 ROW_COMPACT_MIN_D = 8
 ROW_CAP = 16
 
+# Impure-read sub-batch width of the group fast path: B // FIX_DIV reads
+# re-score through the recursive heavy finish; batches beyond the cap
+# fall back to the full heavy branch (exact either way). Homolog
+# measurements (bench/homolog_split.py + bench/ab_fixcap.py, one v5e
+# session): ~0.35% of reads are impure (~230/batch at B=65536), and the
+# device A/B put cap=1024 at 115.8 ms/batch vs 124.1 at the old 4096 —
+# but cap=256 REGRESSED to 202.9 ms (narrow sub-batch sorts schedule
+# badly), so 1024 stays with ~4x headroom over measured demand.
+FIX_DIV = 64
+
 # Probe-result tags, shared by every probe front-end (the hashed bucket
 # table and the classic rank->payload gather produce the same
 # (tag, payload) stream; one back-end turns it into verdicts):
@@ -1047,7 +1057,7 @@ def finish_from_tags(
             pure = any_row & ~any_direct & (gmax == gmin)
             need_fix = any_row & ~pure
             n_fix = jnp.sum(need_fix.astype(jnp.int32))
-            FIX_CAP = min(B, max(64, B // 16))
+            FIX_CAP = min(B, max(64, B // FIX_DIV))
 
             def group_branch(fix):
                 def impl(_):
