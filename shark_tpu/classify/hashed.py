@@ -126,11 +126,18 @@ def _set_bit_positions(index: SharkIndex) -> np.ndarray:
     """Ascending positions of set Bloom bits (uint64), aligned with CSR
     rank order.
 
-    Chunked unpackbits keeps this linear: the prior per-bit-lane pass
-    (32 masked selects + a final 72M-u64 sort) cost 25.3 s at
-    transcriptome scale vs ~4 s for this (bench/profile_xl.py notes in
-    docs/PERF.md "XL build cost"). Little-endian bit order of the u32
-    byte view matches p = word*32 + bit exactly."""
+    The native parallel scan does this at memory bandwidth (~1-2 s at
+    transcriptome scale); the numpy fallback is a chunked little-endian
+    unpackbits (~20-25 s there — flatnonzero over the unpacked bools is
+    the wall; the prior 32-masked-select + 72M-u64-sort version cost the
+    same, docs/PERF.md "XL build cost")."""
+    from shark_tpu.io.native import set_positions_native
+
+    got = set_positions_native(
+        np.ascontiguousarray(index.bf_words), int(index.n_set_bits)
+    )
+    if got is not None:
+        return got
     bw = index.bf_words
     n = int(index.n_set_bits)
     out = np.empty(n, np.uint64)
@@ -295,43 +302,87 @@ def build_hashed_xl(
     n_set = index.n_set_bits
     if n_set == 0 or n_set >= 1 << 31:
         return None
-    pos, tag, payload, has_rows, deg = _entry_streams(index)
-    need = np.where(deg == 1, 1, 2).astype(np.int64)
-    demand = int(need.sum())
-
     lg_min = max(
         6, int(np.ceil(np.log2(index.size_bits))) - XL_REST_BITS
     )
     if lg_min > XL_MAX_LGB:
         return None  # bloom too large for 13-bit rest at any bucket count
-    if lgB is not None:
-        cands = [lgB]
-    else:
-        lg_nat = int(np.ceil(np.log2(max(demand, 2))))
-        cands = sorted(
-            {
-                min(max(c, lg_min), XL_MAX_LGB)
-                for c in (lg_nat - 1, lg_nat)
-            }
+    spill_cap = max(n_set // 64, 1024)
+    decline_cap = max(n_set // 8, 4096)
+
+    from shark_tpu.io.native import pack_xl_native
+    from shark_tpu.io import native as _native
+
+    if _native.available():
+        # Native fast path: entry streams + bucket fill in one C++ pass
+        # (shk_pack_xl; the numpy pack below allocates ~15 fresh
+        # 72M-element temporaries at txome scale, which this host's
+        # page-fault weather turns into 80-97 s — docs/PERF.md "XL build
+        # cost"). Candidate choice is by ACTUAL spill count at each
+        # geometry (try-pack) instead of the numpy path's word-demand
+        # bound — both exact; the auto-picked lgB can differ by 1 in a
+        # narrow band between the two environments.
+        from shark_tpu.classify.step import rows3_payload
+
+        deg = np.diff(index.offsets)
+        has_rows = bool((deg >= 3).any())
+        d3pay = (
+            rows3_payload(index) if has_rows else np.zeros(0, np.uint32)
         )
-    if len(cands) > 1:
-        # choose the bucket count from a cheap slot-demand bound (one
-        # bincount per candidate) so the expensive exact pack runs ONCE:
-        # take the smallest table whose overflow bound stays ~1.5%
-        spill_cap = max(n_set // 64, 1024)
+        demand = 2 * n_set - int(np.count_nonzero(deg == 1))
+        del deg
+        if lgB is not None:
+            cands = [lgB]
+        else:
+            lg_nat = int(np.ceil(np.log2(max(demand, 2))))
+            cands = sorted(
+                {
+                    min(max(c, lg_min), XL_MAX_LGB)
+                    for c in (lg_nat - 1, lg_nat)
+                }
+            )
+        table = spill = None
         for c in cands:
-            demand_c = _demand_bincount(pos, need, c)
-            bound = int((demand_c - XL_SLOTS).clip(min=0).sum())
-            if bound <= 2 * spill_cap or c == cands[-1]:
-                cands = [c]
+            cap = decline_cap if c == cands[-1] else 2 * spill_cap
+            res = pack_xl_native(index, d3pay, c, XL_SLOTS, True, cap)
+            if res is not None:
+                table, spill, lgB = res[0], res[1], c
                 break
-    lgB = cands[0]
-    # bit 13 of meta16 is the overflow flag, so rest must fit 13 bits
-    # strictly (lg_min guarantees it; the assert guards refactors)
-    assert int(pos.max(initial=0)) >> lgB < (1 << XL_REST_BITS), lgB
-    table, spill = _pack_table(pos, tag, payload, need, lgB, True, XL_SLOTS)
-    if spill.shape[0] > max(n_set // 8, 4096):
-        return None  # degenerate distribution; classic path is safer
+        if table is None:
+            return None  # every candidate spilled past the decline cap
+    else:
+        pos, tag, payload, has_rows, deg = _entry_streams(index)
+        need = np.where(deg == 1, 1, 2).astype(np.int64)
+        demand = int(need.sum())
+        if lgB is not None:
+            cands = [lgB]
+        else:
+            lg_nat = int(np.ceil(np.log2(max(demand, 2))))
+            cands = sorted(
+                {
+                    min(max(c, lg_min), XL_MAX_LGB)
+                    for c in (lg_nat - 1, lg_nat)
+                }
+            )
+        if len(cands) > 1:
+            # choose the bucket count from a cheap slot-demand bound (one
+            # bincount per candidate) so the expensive exact pack runs
+            # ONCE: take the smallest whose overflow bound stays ~1.5%
+            for c in cands:
+                demand_c = _demand_bincount(pos, need, c)
+                bound = int((demand_c - XL_SLOTS).clip(min=0).sum())
+                if bound <= 2 * spill_cap or c == cands[-1]:
+                    cands = [c]
+                    break
+        lgB = cands[0]
+        # bit 13 of meta16 is the overflow flag, so rest must fit 13 bits
+        # strictly (lg_min guarantees it; the assert guards refactors)
+        assert int(pos.max(initial=0)) >> lgB < (1 << XL_REST_BITS), lgB
+        table, spill = _pack_table(
+            pos, tag, payload, need, lgB, True, XL_SLOTS
+        )
+        if spill.shape[0] > decline_cap:
+            return None  # degenerate distribution; classic path is safer
 
     n_sp = spill.shape[0]
     if n_sp:

@@ -1440,4 +1440,181 @@ void shk_build_fill(void* h, uint32_t* bf_words, uint32_t* word_rank,
 
 void shk_build_free(void* h) { delete (BuildResult*)h; }
 
+// Ascending positions of set bits of a Bloom bit-vector (uint32 words,
+// LSB-first within a word — the layout shk_build_fill/index.structure
+// use). Parallel: each thread scans a word range and writes into its
+// exclusive-prefix-popcount slice of `out`, so the result is identical
+// for any thread count. Serves the hashed/xl table packers
+// (shark_tpu/classify/hashed.py _set_bit_positions): the numpy paths
+// measured 20-25 s at transcriptome scale (72M set bits / 1 GiB vector,
+// docs/PERF.md "XL build cost") vs ~1-2 s here — this is a pure
+// bandwidth scan. Returns the number of positions written (== the
+// vector's total popcount); `out` must hold at least that many u64.
+int64_t shk_set_positions(const uint32_t* words, uint64_t n_words,
+                          uint64_t* out, int threads) {
+  int nt = std::max(1, threads);
+  std::vector<uint64_t> wb(nt + 1);
+  for (int i = 0; i <= nt; i++) wb[i] = n_words * (uint64_t)i / nt;
+  std::vector<uint64_t> csum(nt, 0);
+  parallel_chunks(nt, nt, [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; i++) {
+      uint64_t s = 0;
+      for (uint64_t w = wb[i]; w < wb[i + 1]; w++)
+        s += __builtin_popcount(words[w]);
+      csum[i] = s;
+    }
+  });
+  std::vector<uint64_t> base(nt + 1, 0);
+  for (int i = 0; i < nt; i++) base[i + 1] = base[i] + csum[i];
+  parallel_chunks(nt, nt, [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; i++) {
+      uint64_t* o = out + base[i];
+      for (uint64_t w = wb[i]; w < wb[i + 1]; w++) {
+        uint32_t v = words[w];
+        uint64_t p = w << 5;
+        while (v) {
+          *o++ = p + (uint64_t)__builtin_ctz(v);
+          v &= v - 1;
+        }
+      }
+    }
+  });
+  return (int64_t)base[nt];
+}
+
+// Hashed-probe-table pack (shark_tpu/classify/hashed.py _pack_table),
+// entry streams + bucket fill in one native pass. The numpy pack
+// allocates ~15 fresh 72M-element temporaries at transcriptome scale and
+// this VM class faults fresh pages at 0.1-1 GB/s with heavy weather
+// variance — the xl table build measured 80-97 s host-side. Here:
+// threads own disjoint BUCKET ranges and each scans the whole
+// bit-vector, so per-bucket slot cursors are thread-private and entry
+// order within a bucket is ascending-position by construction (~4-6 s
+// at 4 threads; equality-tested against the numpy pack in
+// tests/test_native.py).
+//
+// Semantics are EXACTLY hashed.py's: one entry per set Bloom bit in
+// ascending position (== CSR rank) order; bucket = pos & (2^lgB - 1);
+// entries take a bucket's slot words first-come in position order — one
+// word when the CSR degree is 1, two otherwise. entry16 layout:
+// meta16 = ((tag << 14) | pos >> lgB) << 16 with the payload halves in
+// the word lows; entry8 layout (planar [n_buckets, 2, 8]): w0 =
+// tag << 30 | pos >> lgB, w1 = payload. Entries that do not fit append
+// to the spill list as (pos_lo, pos_hi, tag, payload) rows, merged
+// across threads back into global position order. tag/payload carry the
+// reference association semantics (bloomfilter.h:61-75): deg 1 ->
+// (1, gene); deg 2 -> (2, g0 | g1 << 16); deg >= 3 ->
+// (3, d3_payload[rank among deg>=3 bits]) with d3_payload precomputed
+// by the caller (compacted rows3 index + group-id bits).
+//
+// Returns the spill count, or -1 when it exceeds spill_cap (caller
+// declines the geometry and retries a larger one). `table` must arrive
+// zeroed: n_buckets*slots u32 (entry16) or n_buckets*16 u32 (entry8,
+// slots fixed at 8).
+int64_t shk_pack_xl(const uint32_t* bf_words, uint64_t n_words,
+                    const int32_t* offsets, const uint16_t* gene_ids,
+                    const uint32_t* d3_payload, int lgB, int slots,
+                    int entry16, uint32_t* table, uint32_t* spill_out,
+                    int64_t spill_cap, int threads) {
+  int nt = std::max(1, threads);
+  uint64_t n_buckets = 1ULL << lgB;
+  uint64_t mask = n_buckets - 1;
+  std::vector<std::vector<uint32_t>> spills(nt);
+  std::atomic<int64_t> spill_total{0};
+  parallel_chunks(nt, nt, [&](uint64_t tlo, uint64_t thi) {
+    for (uint64_t t = tlo; t < thi; t++) {
+      uint64_t b_lo = n_buckets * t / nt;
+      uint64_t b_hi = n_buckets * (t + 1) / nt;
+      std::vector<uint8_t> cursor(b_hi - b_lo, 0);
+      auto& sp = spills[t];
+      uint64_t r = 0, d3r = 0;
+      for (uint64_t w = 0; w < n_words; w++) {
+        uint32_t v = bf_words[w];
+        if (!v) continue;
+        uint64_t pbase = w << 5;
+        while (v) {
+          uint64_t p = pbase + (uint64_t)__builtin_ctz(v);
+          v &= v - 1;
+          uint64_t rr = r++;
+          int32_t o0 = offsets[rr];
+          int deg = offsets[rr + 1] - o0;
+          uint64_t my_d3 = d3r;
+          if (deg >= 3) d3r++;
+          uint64_t b = p & mask;
+          if (b < b_lo || b >= b_hi) continue;
+          uint32_t tag, pay;
+          if (deg == 1) {
+            tag = 1u;
+            pay = gene_ids[o0];
+          } else if (deg == 2) {
+            tag = 2u;
+            pay = (uint32_t)gene_ids[o0] |
+                  ((uint32_t)gene_ids[o0 + 1] << 16);
+          } else {
+            tag = 3u;
+            pay = d3_payload[my_d3];
+          }
+          // slot demand: entry16 splits a 32-bit payload across two
+          // words; entry8 stores every entry in one (w0, w1) slot pair
+          int need = (entry16 && deg != 1) ? 2 : 1;
+          int cur = cursor[b - b_lo];
+          // the numpy pack assigns slots by the prefix of ALL needs in
+          // the bucket — a spilled entry still advances the cursor and
+          // its hole is never reused; saturate far above max slots so
+          // overfull buckets keep spilling without uint8 wraparound
+          cursor[b - b_lo] = (uint8_t)std::min(cur + need, 64);
+          if (cur + need <= slots) {
+            uint32_t rest = (uint32_t)(p >> lgB);
+            if (entry16) {
+              uint32_t meta16 = ((tag << 14) | rest) << 16;
+              uint32_t* row = table + b * (uint64_t)slots;
+              row[cur] = meta16 | (pay & 0xFFFF);
+              if (need == 2) row[cur + 1] = meta16 | (pay >> 16);
+            } else {
+              // entry8 is planar and single-word-per-entry (need
+              // collapses to 1 slot: tag word + payload word pair)
+              uint32_t* row = table + b * 16;
+              row[cur] = (tag << 30) | rest;
+              row[8 + cur] = pay;
+            }
+          } else {
+            sp.push_back((uint32_t)(p & 0xFFFFFFFFu));
+            sp.push_back((uint32_t)(p >> 32));
+            sp.push_back(tag);
+            sp.push_back(pay);
+          }
+        }
+      }
+      spill_total.fetch_add((int64_t)(sp.size() / 4));
+    }
+  });
+  int64_t total = spill_total.load();
+  if (total > spill_cap) return -1;
+  // numpy emits spill rows in (bucket, position) order — its stable
+  // argsort is bucket-major with position order within a bucket. Each
+  // thread's list is position-ascending over ITS bucket range, so a
+  // stable per-thread sort by bucket plus concatenation in (ascending)
+  // thread-range order reproduces that exactly. Spill counts are tiny.
+  uint32_t* out = spill_out;
+  for (auto& sp : spills) {
+    size_t n = sp.size() / 4;
+    if (!n) continue;
+    std::vector<uint32_t> idx(n);
+    for (size_t i = 0; i < n; i++) idx[i] = (uint32_t)i;
+    std::stable_sort(idx.begin(), idx.end(),
+                     [&](uint32_t a, uint32_t b) {
+                       uint64_t pa = (uint64_t)sp[a * 4] |
+                                     ((uint64_t)sp[a * 4 + 1] << 32);
+                       uint64_t pb = (uint64_t)sp[b * 4] |
+                                     ((uint64_t)sp[b * 4 + 1] << 32);
+                       return (pa & mask) < (pb & mask);
+                     });
+    for (size_t i = 0; i < n; i++) {
+      memcpy(out, sp.data() + idx[i] * 4, 16);
+      out += 4;
+    }
+  }
+  return total;
+}
+
 }  // extern "C"

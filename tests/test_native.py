@@ -594,3 +594,95 @@ def test_native_pipeline_group_golden(tmp_path):
     assert outs["python"]["ssv"] == want
     assert outs["native"]["fq1"] == outs["python"]["fq1"]
     assert outs["native"]["fq2"] == outs["python"]["fq2"]
+
+
+def test_set_positions_matches_numpy():
+    """Native parallel set-bit scan == the numpy extraction, any thread
+    count (exclusive-prefix-popcount slicing makes it deterministic)."""
+    rng = np.random.default_rng(7)
+    n_words = 1 << 12
+    bw = rng.integers(0, 1 << 32, size=n_words, dtype=np.uint64).astype(
+        np.uint32
+    )
+    bw[rng.integers(0, n_words, size=n_words // 2)] = 0  # sparse stretches
+    n_set = int(np.bitwise_count(bw).sum()) if hasattr(
+        np, "bitwise_count"
+    ) else int(bin(int.from_bytes(bw.tobytes(), "little")).count("1"))
+    want = []
+    for w in range(n_words):
+        v = int(bw[w])
+        while v:
+            b = (v & -v).bit_length() - 1
+            want.append((w << 5) | b)
+            v &= v - 1
+    want = np.array(want, dtype=np.uint64)
+    assert want.size == n_set
+    for t in (1, 3, 4):
+        got = native.set_positions_native(bw, n_set, threads=t)
+        np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError):
+        native.set_positions_native(bw, n_set + 1)
+
+
+def test_pack_xl_native_matches_numpy():
+    """shk_pack_xl (native entry streams + bucket fill) must reproduce
+    the numpy _pack_table bit for bit — tables, spill rows, and spill
+    order — across both entry layouts, tight (spilling) and loose
+    geometries, and any thread count."""
+    from shark_tpu.classify import hashed as H
+    from shark_tpu.classify.step import rows3_payload
+    from shark_tpu.index.build import build_index
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    records = []
+    for g in range(120):
+        seq = bases[rng.integers(0, 4, size=400)].tobytes()
+        records.append((f"g{g}", seq))
+    # duplicated cores give deg>=2 and deg>=3 entries
+    records += [(f"dup{m}", records[0][1][:200]) for m in range(4)]
+    ix = build_index(records, 15, 1 << 22)
+
+    pos, tag, payload, has_rows, deg = H._entry_streams(ix)
+    assert has_rows  # the dup cores must produce deg>=3 rows
+    need = np.where(deg == 1, 1, 2).astype(np.int64)
+    d3pay = rows3_payload(ix)
+
+    for lgB, slots, entry16 in (
+        (14, 4, True),   # loose: no spills
+        (10, 4, True),   # tight: spills
+        (14, 8, False),  # entry8 loose
+        (9, 8, False),   # entry8 tight
+    ):
+        t_np, sp_np = H._pack_table(
+            pos, tag, payload, need if entry16 else None, lgB, entry16,
+            slots,
+        )
+        for threads in (1, 4):
+            res = native.pack_xl_native(
+                ix, d3pay, lgB, slots, entry16, spill_cap=1 << 22,
+                threads=threads,
+            )
+            assert res is not None
+            t_nat, sp_nat = res
+            np.testing.assert_array_equal(t_nat, t_np)
+            np.testing.assert_array_equal(sp_nat, sp_np)
+    # the spill-cap decline contract
+    assert (
+        native.pack_xl_native(ix, d3pay, 9, 4, True, spill_cap=1)
+        is None
+    )
+
+    # full builds (pinned geometry so auto-choice cannot differ) must
+    # agree end to end: table, side table, side stash, meta
+    nat = H.build_hashed_xl(ix, lgB=15)
+    import unittest.mock as mock
+
+    with mock.patch(
+        "shark_tpu.io.native.available", return_value=False
+    ):
+        ref = H.build_hashed_xl(ix, lgB=15)
+    assert nat is not None and ref is not None
+    for a, b in zip(nat[:3], ref[:3]):
+        np.testing.assert_array_equal(a, b)
+    assert nat[3] == ref[3]
