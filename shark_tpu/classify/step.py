@@ -76,15 +76,19 @@ EXT_CAP2 = 16  # max extension-escaping windows per read before host redo
 ROW_COMPACT_MIN_D = 8
 ROW_CAP = 16
 
-# Impure-read sub-batch width of the group fast path: B // FIX_DIV reads
-# re-score through the recursive heavy finish; batches beyond the cap
-# fall back to the full heavy branch (exact either way). Homolog
-# measurements (bench/homolog_split.py + bench/ab_fixcap.py, one v5e
-# session): ~0.35% of reads are impure (~230/batch at B=65536), and the
-# device A/B put cap=1024 at 115.8 ms/batch vs 124.1 at the old 4096 —
-# but cap=256 REGRESSED to 202.9 ms (narrow sub-batch sorts schedule
-# badly), so 1024 stays with ~4x headroom over measured demand.
+# Impure-read sub-batch widths of the group fast path: up to B // FIX_DIV
+# reads re-score through the recursive heavy finish (tier 2: B //
+# FIX_DIV2); batches beyond both fall back to the full heavy branch
+# (exact at every tier). Homolog measurements (bench/homolog_split.py +
+# bench/ab_fixcap.py, one v5e session): ~0.35% of reads are impure
+# (~230/batch at B=65536), and the device A/B put cap=1024 at 115.8
+# ms/batch vs 124.1 at the old single-tier 4096 — while cap=256
+# REGRESSED to 202.9 ms (narrow sub-batch sorts schedule badly). The
+# txome workload's impure counts land BETWEEN the tiers (BENCH r4 caught
+# the single-tier 1024 cap dropping txome to the full heavy branch), so
+# tier 2 keeps 4096.
 FIX_DIV = 64
+FIX_DIV2 = 16
 
 # Probe-result tags, shared by every probe front-end (the hashed bucket
 # table and the classic rank->payload gather produce the same
@@ -1057,7 +1061,14 @@ def finish_from_tags(
             pure = any_row & ~any_direct & (gmax == gmin)
             need_fix = any_row & ~pure
             n_fix = jnp.sum(need_fix.astype(jnp.int32))
+            # two sub-batch tiers: homolog batches fit the small one
+            # (~230 impure, ab_fixcap.py), txome batches need the large
+            # one (impure counts land between them — BENCH r4 caught the
+            # single-tier 1024 cap silently dropping txome to the full
+            # heavy branch: group_rows went 2048 -> 0 and warm classify
+            # 1.56 -> 2.28 s)
             FIX_CAP = min(B, max(64, B // FIX_DIV))
+            FIX_CAP2 = min(B, max(FIX_CAP, B // FIX_DIV2))
 
             def group_branch(fix):
                 def impl(_):
@@ -1110,7 +1121,7 @@ def finish_from_tags(
                         packed,
                     )
                     if fix:
-                        # compact the impure reads into a FIX_CAP-read
+                        # compact the impure reads into a `fix`-read
                         # sub-batch, re-score them exactly through the
                         # recursive heavy finish (group path disabled),
                         # scatter the verdicts back; padding lanes write
@@ -1118,7 +1129,7 @@ def finish_from_tags(
                         iota_b = jnp.arange(B, dtype=jnp.int32)
                         sel = jnp.sort(
                             jnp.where(need_fix, iota_b, B)
-                        )[:FIX_CAP]
+                        )[:fix]
                         valid = sel < B
                         sel = jnp.minimum(sel, B - 1)
                         sp, sw, sc, _ = finish_from_tags(
@@ -1152,15 +1163,25 @@ def finish_from_tags(
                 return impl
 
             inner_heavy = heavy
+            tier2 = (
+                inner_heavy
+                if FIX_CAP2 == FIX_CAP
+                else lambda _: jax.lax.cond(
+                    n_fix <= FIX_CAP2,
+                    group_branch(FIX_CAP2),
+                    inner_heavy,
+                    None,
+                )
+            )
 
             def heavy(_):
                 return jax.lax.cond(
                     n_fix == 0,
-                    group_branch(False),
+                    group_branch(0),
                     lambda _: jax.lax.cond(
                         n_fix <= FIX_CAP,
-                        group_branch(True),
-                        inner_heavy,
+                        group_branch(FIX_CAP),
+                        tier2,
                         None,
                     ),
                     None,
