@@ -285,3 +285,54 @@ def test_hashed_vs_classic_geometry_fuzz(
         ("packed", "winners", "best_cov", "length"), ref, got
     ):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pack_native_vs_numpy_fuzz(seed):
+    """Randomized native-vs-numpy pack equality across layouts and
+    geometries (the 4-case test in test_native.py pins the shapes; this
+    sweeps random gene sets, duplication rates, k, and bucket counts)."""
+    from shark_tpu.classify import hashed as H
+    from shark_tpu.classify.step import rows3_payload
+    from shark_tpu.index.build import build_index
+    from shark_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(900 + seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    k = int(rng.choice([13, 15, 17]))
+    n_genes = int(rng.integers(20, 90))
+    records = []
+    for g in range(n_genes):
+        seq = bases[rng.integers(0, 4, size=int(rng.integers(k, 300)))]
+        records.append((f"g{g}", seq.tobytes()))
+    # random duplication creates deg>=2 / deg>=3 entries
+    for m in range(int(rng.integers(0, 6))):
+        src = records[int(rng.integers(0, n_genes))][1]
+        cut = int(rng.integers(0, max(1, len(src) - k)))
+        records.append((f"d{m}", src[cut:]))
+    size_bits = 1 << int(rng.choice([20, 22]))
+    ix = build_index(records, k, size_bits)
+    if ix.n_set_bits == 0:
+        pytest.skip("degenerate empty index")
+
+    pos, tag, payload, has_rows, deg = H._entry_streams(ix)
+    need = np.where(deg == 1, 1, 2).astype(np.int64)
+    d3pay = rows3_payload(ix) if has_rows else np.zeros(0, np.uint32)
+    lg_lo = max(6, int(np.ceil(np.log2(size_bits))) - 14)
+    for _ in range(3):
+        entry16 = bool(rng.integers(0, 2))
+        slots = int(rng.choice([4, 8]))
+        lgB = int(rng.integers(lg_lo, 16))
+        t_np, sp_np = H._pack_table(
+            pos, tag, payload, need if entry16 else None, lgB, entry16,
+            slots,
+        )
+        res = native.pack_xl_native(
+            ix, d3pay, lgB, slots, entry16, spill_cap=size_bits,
+            threads=int(rng.integers(1, 5)),
+        )
+        assert res is not None
+        np.testing.assert_array_equal(res[0], t_np)
+        np.testing.assert_array_equal(res[1], sp_np)
