@@ -310,6 +310,28 @@ def build_hashed_xl(
     spill_cap = max(n_set // 64, 1024)
     decline_cap = max(n_set // 8, 4096)
 
+    def _cands(demand: int):
+        """Bucket-count candidates (shared by the native and numpy
+        builds so their selection policy cannot desynchronize)."""
+        if lgB is not None:
+            cs = [lgB]
+        else:
+            lg_nat = int(np.ceil(np.log2(max(demand, 2))))
+            cs = sorted(
+                {
+                    min(max(c, lg_min), XL_MAX_LGB)
+                    for c in (lg_nat - 1, lg_nat)
+                }
+            )
+        # bit 13 of meta16 is the overflow flag, so rest must fit 13 bits
+        # strictly at EVERY candidate (lg_min guarantees it for the auto
+        # ones; this guards pinned lgB and refactors — a too-small lgB
+        # would silently bleed rest bits into the flag/tag fields)
+        assert (int(index.size_bits) - 1) >> cs[0] < (
+            1 << XL_REST_BITS
+        ), cs[0]
+        return cs
+
     from shark_tpu.io.native import pack_xl_native
     from shark_tpu.io import native as _native
 
@@ -331,16 +353,7 @@ def build_hashed_xl(
         )
         demand = 2 * n_set - int(np.count_nonzero(deg == 1))
         del deg
-        if lgB is not None:
-            cands = [lgB]
-        else:
-            lg_nat = int(np.ceil(np.log2(max(demand, 2))))
-            cands = sorted(
-                {
-                    min(max(c, lg_min), XL_MAX_LGB)
-                    for c in (lg_nat - 1, lg_nat)
-                }
-            )
+        cands = _cands(demand)
         table = spill = None
         for c in cands:
             cap = decline_cap if c == cands[-1] else 2 * spill_cap
@@ -354,16 +367,7 @@ def build_hashed_xl(
         pos, tag, payload, has_rows, deg = _entry_streams(index)
         need = np.where(deg == 1, 1, 2).astype(np.int64)
         demand = int(need.sum())
-        if lgB is not None:
-            cands = [lgB]
-        else:
-            lg_nat = int(np.ceil(np.log2(max(demand, 2))))
-            cands = sorted(
-                {
-                    min(max(c, lg_min), XL_MAX_LGB)
-                    for c in (lg_nat - 1, lg_nat)
-                }
-            )
+        cands = _cands(demand)
         if len(cands) > 1:
             # choose the bucket count from a cheap slot-demand bound (one
             # bincount per candidate) so the expensive exact pack runs

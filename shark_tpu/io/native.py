@@ -109,7 +109,7 @@ def get_lib():
         lib.shk_set_positions.restype = ctypes.c_int64
         lib.shk_set_positions.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
-            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int,
         ]
         lib.shk_pack_xl.restype = ctypes.c_int64
         lib.shk_pack_xl.argtypes = [
@@ -361,6 +361,7 @@ def set_positions_native(
         bf_words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         bf_words.size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.size,  # capacity: C++ reports (writes nothing) on mismatch
         max(1, threads),
     )
     if got != n_set:
@@ -382,9 +383,11 @@ def pack_xl_native(
     """Pack a hashed probe table straight from the index's bit-vector/CSR
     via the native engine (entry streams + bucket fill in one pass —
     semantics identical to classify.hashed._pack_table, equality-tested).
-    Returns (table, spill_rows) — spill_rows in ascending position order —
-    or None when the engine is unavailable OR the geometry spills past
-    `spill_cap` (caller retries a larger one)."""
+    Returns (table, spill_rows) — spill_rows in (bucket, position) order,
+    the numpy pack's stable bucket-sort order (bucket-major, position-
+    ascending within a bucket; NOT global position order) — or None when
+    the engine is unavailable OR the geometry spills past `spill_cap`
+    (caller retries a larger one)."""
     lib = get_lib()
     if lib is None:
         return None

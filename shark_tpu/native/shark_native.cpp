@@ -851,7 +851,10 @@ int shk_next(void* h, uint8_t* codes, uint8_t* packed, uint8_t* vmask,
     s->cv_free.notify_all();
     return 0;
   }
-  if (codes)
+  // pack mode no longer materializes the byte-codes array (encode+mask+
+  // pack fuse through a row scratch buffer), so a codes request there is
+  // a caller contract violation, not a silent empty read
+  if (codes && !s->pack_mode)
     memcpy(codes, b.codes.data(), (size_t)s->batch_size * s->max_len);
   if (s->pack_mode && packed)
     memcpy(packed, b.packed.data(), (size_t)s->batch_size * (s->max_len / 4));
@@ -1451,7 +1454,7 @@ void shk_build_free(void* h) { delete (BuildResult*)h; }
 // bandwidth scan. Returns the number of positions written (== the
 // vector's total popcount); `out` must hold at least that many u64.
 int64_t shk_set_positions(const uint32_t* words, uint64_t n_words,
-                          uint64_t* out, int threads) {
+                          uint64_t* out, int64_t out_cap, int threads) {
   int nt = std::max(1, threads);
   std::vector<uint64_t> wb(nt + 1);
   for (int i = 0; i <= nt; i++) wb[i] = n_words * (uint64_t)i / nt;
@@ -1466,6 +1469,10 @@ int64_t shk_set_positions(const uint32_t* words, uint64_t n_words,
   });
   std::vector<uint64_t> base(nt + 1, 0);
   for (int i = 0; i < nt; i++) base[i + 1] = base[i] + csum[i];
+  // the caller sizes `out` from its index metadata; if the vector's true
+  // popcount disagrees (corrupt/mixed index files), report it WITHOUT
+  // writing — the Python wrapper raises instead of overflowing the heap
+  if ((int64_t)base[nt] > out_cap) return (int64_t)base[nt];
   parallel_chunks(nt, nt, [&](uint64_t lo, uint64_t hi) {
     for (uint64_t i = lo; i < hi; i++) {
       uint64_t* o = out + base[i];
