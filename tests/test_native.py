@@ -686,3 +686,21 @@ def test_pack_xl_native_matches_numpy():
     for a, b in zip(nat[:3], ref[:3]):
         np.testing.assert_array_equal(a, b)
     assert nat[3] == ref[3]
+
+
+@pytest.mark.slow
+def test_native_pipeline_xl_probe_golden(example_dir, tmp_path):
+    """--probe xl through the FULL native pipeline, byte-exact.
+
+    Auto-select picks the hashed table at example scale, so the GB-scale
+    one-gather xl layout — what auto picks at transcriptome scale —
+    needs its own pipeline-level golden through native parse/emit (it is
+    otherwise covered at kernel level by the fuzz suites). At -b 1 the
+    forced build lands a ~2^20-bucket 16-byte-row table with the 13-bit
+    rest exactly at its lg_min clamp."""
+    stats = _run_native_golden(
+        example_dir, tmp_path, batch_size=2048, max_read_len=208,
+        probe="xl",
+    )
+    assert stats["probe"] == "xl"
+    assert stats["n_reads"] == 5000
