@@ -209,3 +209,34 @@ def test_group_vs_classic_and_xl_probe(family_workload):
             outs[probe],
         ):
             np.testing.assert_array_equal(a, b, err_msg=f"{probe}:{name}")
+
+
+def test_mid_tier_subfix_exact(family_workload):
+    """Impure count BETWEEN the two sub-batch tiers (FIX_CAP < n_fix <=
+    FIX_CAP2): the second compacted re-score tier must engage — pure
+    reads keep their group verdicts (so the full heavy branch was NOT
+    taken) and associations equal the oracle exactly. At B=4096 the
+    tiers are 64 and 256; 150 straddlers land between them. Guards the
+    two-tier ladder the txome regression motivated (step.py FIX_DIV2)."""
+    records, index, oracle = family_workload
+    rng = np.random.default_rng(5)
+    reads = _sample(rng, records, 2000, "core") + _sample(
+        rng, records, 1946, "flank"
+    )
+    for _ in range(150):
+        _, seq = records[rng.integers(0, len(records))]
+        start = int(rng.integers(30, 90))  # straddles the boundary
+        reads.append(seq[start : start + 90])
+    assert len(reads) == 4096
+    codes = _encode(reads)
+    clf = Classifier(index, max_winners=8, c=0.6)
+    res = _device(clf, codes)
+    grp = (res[0] >> PACK_GRP_SHIFT) & 1
+    assert int(grp.sum()) >= 1500, "tier-2 batch fell to the heavy branch"
+    cfg = SharkConfig(c=0.6)
+    ri, gi_ = _winner_pairs(
+        cfg, index, res, len(reads), codes, 8, groups=clf.groups
+    )
+    want_r, want_g = _oracle_pairs(oracle, reads, 0.6, False)
+    np.testing.assert_array_equal(ri, want_r)
+    np.testing.assert_array_equal(gi_, want_g)
