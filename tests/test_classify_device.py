@@ -311,3 +311,42 @@ def test_multi_device_matches_single(workload):
     got_p = [np.asarray(x) for x in multi.call_packed(packed, vmask)]
     for a, b in zip(ref, got_p):
         np.testing.assert_array_equal(a, b)
+
+
+def test_multi_device_xl_matches_single(workload):
+    """The GB-scale xl layout over the 8-device mesh, with a pinned
+    spill-forcing geometry so the side-table compaction/cond executes
+    multi-device (auto geometry has no spills at this scale): full
+    output equality against the single-device xl classifier, both wire
+    formats."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from shark_tpu.classify import hashed as H
+    from shark_tpu.parallel.data_parallel import DataParallelClassifier
+
+    _, reads, index, _ = workload
+    L = 128
+    B = 296
+    codes = np.full((B, L), 4, dtype=np.uint8)
+    for i in range(B):
+        r = reads[i % len(reads)]
+        codes[i, : len(r)] = encode_bytes(r)
+
+    forced = H.build_hashed_xl(index, lgB=10)  # tight: forces spills
+    assert forced is not None and forced[3].has_side, "no side spills"
+    orig = H.build_hashed_xl
+    H.build_hashed_xl = lambda ix, **kw: forced
+    try:
+        single = Classifier(index, max_winners=24, probe="xl")
+        multi = DataParallelClassifier(
+            index, max_winners=24, n_devices=8, probe="xl"
+        )
+    finally:
+        H.build_hashed_xl = orig
+    assert single.probe == multi.probe == "xl"
+    ref = [np.asarray(x) for x in single(codes)]
+    got = [np.asarray(x) for x in multi(codes)]
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
