@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "not buildable")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--compile-cache", default="~/.cache/shark_tpu/xla",
+                   metavar="DIR",
+                   help="persistent XLA compile cache (repeat runs of a "
+                        "geometry skip its jit compile); '' disables")
     p.add_argument("--resume", action="store_true",
                    help="checkpoint per batch to <ssv>.progress and resume "
                         "an interrupted run from the last checkpoint "
@@ -128,6 +132,7 @@ def config_from_args(args: argparse.Namespace) -> SharkConfig:
         use_native=not args.no_native,
         probe=args.probe,
         profile_dir=args.profile_dir,
+        compile_cache=args.compile_cache,
         resume=args.resume,
     )
 

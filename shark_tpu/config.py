@@ -62,6 +62,12 @@ class SharkConfig:
     # run from the last checkpoint, byte-identically.
     resume: bool = False
     fail_after_batches: int = 0  # test hook: inject a crash mid-sample
+    # Persistent XLA compilation cache directory ("" disables). Each
+    # distinct jit geometry costs ~10-15 s to compile on tunneled TPU
+    # setups; the cache is keyed on the HLO + compile options by jax, so
+    # repeat runs of the same geometry skip it (measured cross-process:
+    # 8.4 -> 4.8 s on a small probe kernel). Output bytes are unaffected.
+    compile_cache: str = "~/.cache/shark_tpu/xla"
 
     @property
     def paired(self) -> bool:

@@ -907,6 +907,28 @@ def run_pipeline(cfg: SharkConfig, ssv_stream=None, classifier=None) -> dict:
 
         jax.config.update("jax_platforms", cfg.backend)
 
+    if cfg.compile_cache:
+        # persistent XLA compile cache: repeat runs of the same batch
+        # geometry skip the ~10-15 s per-jit remote compile (cache keyed
+        # by jax on HLO + compile options; harmless if the dir is cold).
+        # Never fatal — a read-only HOME must not kill a classify run.
+        import os as _os
+
+        import jax
+
+        try:
+            d = _os.path.expanduser(cfg.compile_cache)
+            _os.makedirs(d, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", d)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception as e:  # noqa: BLE001 - cache is best-effort
+            print(
+                f"[shark-tpu] compile cache disabled: {e}",
+                file=__import__("sys").stderr,
+            )
+
     profile_ctx = None
     if cfg.profile_dir:
         import jax

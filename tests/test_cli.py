@@ -145,3 +145,19 @@ def test_probe_flag():
         _cfg(BASE + ["--probe", "fast"])
     with pytest.raises(ValueError, match="probe"):
         SharkConfig(probe="fast").validate()
+
+
+def test_compile_cache_flag():
+    from shark_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["-r", "g.fa", "-1", "s.fq", "--compile-cache", "/tmp/x"]
+    )
+    assert config_from_args(args).compile_cache == "/tmp/x"
+    args = build_parser().parse_args(
+        ["-r", "g.fa", "-1", "s.fq", "--compile-cache", ""]
+    )
+    assert config_from_args(args).compile_cache == ""
+    # default on
+    args = build_parser().parse_args(["-r", "g.fa", "-1", "s.fq"])
+    assert config_from_args(args).compile_cache
