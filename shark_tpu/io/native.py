@@ -114,7 +114,7 @@ def get_lib():
         lib.shk_pack_xl.restype = ctypes.c_int64
         lib.shk_pack_xl.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -412,6 +412,7 @@ def pack_xl_native(
         bf.ctypes.data_as(u32p),
         bf.size,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(index.n_set_bits),
         gene_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         d3.ctypes.data_as(u32p),
         lgB,
@@ -422,6 +423,11 @@ def pack_xl_native(
         cap,
         max(1, threads),
     )
+    if got == -2:
+        raise ValueError(
+            "bit-vector popcount disagrees with index n_set_bits "
+            "(corrupt or mixed index files)"
+        )
     if got < 0:
         return None
     return table, spill[:got].copy()

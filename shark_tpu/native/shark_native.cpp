@@ -1519,10 +1519,20 @@ int64_t shk_set_positions(const uint32_t* words, uint64_t n_words,
 // zeroed: n_buckets*slots u32 (entry16) or n_buckets*16 u32 (entry8,
 // slots fixed at 8).
 int64_t shk_pack_xl(const uint32_t* bf_words, uint64_t n_words,
-                    const int32_t* offsets, const uint16_t* gene_ids,
-                    const uint32_t* d3_payload, int lgB, int slots,
-                    int entry16, uint32_t* table, uint32_t* spill_out,
-                    int64_t spill_cap, int threads) {
+                    const int32_t* offsets, int64_t n_set,
+                    const uint16_t* gene_ids, const uint32_t* d3_payload,
+                    int lgB, int slots, int entry16, uint32_t* table,
+                    uint32_t* spill_out, int64_t spill_cap, int threads) {
+  // same corrupt-index guard class as shk_set_positions: offsets/gene_ids
+  // are sized by the caller's index metadata (n_set = offsets entries - 1);
+  // if the bit-vector's popcount disagrees, reading CSR rows past n_set
+  // would be UB — check up front and report -2 so Python raises.
+  {
+    uint64_t pc = 0;
+    for (uint64_t w = 0; w < n_words; w++)
+      pc += __builtin_popcount(bf_words[w]);
+    if ((int64_t)pc != n_set) return -2;
+  }
   int nt = std::max(1, threads);
   uint64_t n_buckets = 1ULL << lgB;
   uint64_t mask = n_buckets - 1;

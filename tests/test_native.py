@@ -704,3 +704,28 @@ def test_native_pipeline_xl_probe_golden(example_dir, tmp_path):
     )
     assert stats["probe"] == "xl"
     assert stats["n_reads"] == 5000
+
+
+def test_pack_xl_corrupt_index_raises():
+    """A bit-vector whose popcount disagrees with the CSR metadata must
+    raise, not read past the offsets array (same guard class as
+    set_positions_native)."""
+    from shark_tpu.classify import hashed as H
+    from shark_tpu.index.build import build_index
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    recs = [("g", bases[rng.integers(0, 4, 200)].tobytes())]
+    ix = build_index(recs, 15, 1 << 16)
+    bad = ix.bf_words.copy()
+    w = int(np.flatnonzero(bad == 0)[0])
+    bad[w] = 1  # extra set bit the CSR knows nothing about
+    ix2 = type(ix)(
+        k=ix.k, size_bits=ix.size_bits, bf_words=bad,
+        word_rank=ix.word_rank, offsets=ix.offsets,
+        gene_ids=ix.gene_ids, gene_names=ix.gene_names,
+    )
+    with pytest.raises(ValueError, match="popcount"):
+        native.pack_xl_native(
+            ix2, np.zeros(0, np.uint32), 10, 4, True, spill_cap=1 << 16
+        )
