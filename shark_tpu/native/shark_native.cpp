@@ -1523,17 +1523,27 @@ int64_t shk_pack_xl(const uint32_t* bf_words, uint64_t n_words,
                     const uint16_t* gene_ids, const uint32_t* d3_payload,
                     int lgB, int slots, int entry16, uint32_t* table,
                     uint32_t* spill_out, int64_t spill_cap, int threads) {
+  int nt = std::max(1, threads);
   // same corrupt-index guard class as shk_set_positions: offsets/gene_ids
   // are sized by the caller's index metadata (n_set = offsets entries - 1);
   // if the bit-vector's popcount disagrees, reading CSR rows past n_set
-  // would be UB — check up front and report -2 so Python raises.
+  // would be UB — check up front (parallel scan) and report -2 so Python
+  // raises.
   {
+    std::vector<uint64_t> pcs(nt, 0);
+    parallel_chunks(nt, nt, [&](uint64_t lo, uint64_t hi) {
+      for (uint64_t i = lo; i < hi; i++) {
+        uint64_t a = n_words * i / nt, b = n_words * (i + 1) / nt;
+        uint64_t s = 0;
+        for (uint64_t w = a; w < b; w++)
+          s += __builtin_popcount(bf_words[w]);
+        pcs[i] = s;
+      }
+    });
     uint64_t pc = 0;
-    for (uint64_t w = 0; w < n_words; w++)
-      pc += __builtin_popcount(bf_words[w]);
+    for (int i = 0; i < nt; i++) pc += pcs[i];
     if ((int64_t)pc != n_set) return -2;
   }
-  int nt = std::max(1, threads);
   uint64_t n_buckets = 1ULL << lgB;
   uint64_t mask = n_buckets - 1;
   std::vector<std::vector<uint32_t>> spills(nt);
