@@ -139,6 +139,10 @@ def test_e2e_differential_fuzz(tmp_path, seed):
     rng = np.random.default_rng(1000 + seed)
     w = _random_workload(rng, tmp_path, seed)
     want = _oracle_ssv(w)
+    # widen probe coverage: random forced layout per seed (auto picks the
+    # hashed table at this scale; classic and the GB-scale xl layout must
+    # produce the same bytes through both engines)
+    probe = str(rng.choice(["auto", "classic", "xl"]))
 
     outs = {}
     for mode in ("native", "python"):
@@ -158,9 +162,12 @@ def test_e2e_differential_fuzz(tmp_path, seed):
             # (auto-length would compile per rounded length bucket)
             max_read_len=256,
             use_native=(mode == "native"),
+            probe=probe,
         )
         stats = run_pipeline(cfg)
         assert stats.get("native", False) == (mode == "native")
+        if probe != "auto":
+            assert stats["probe"] == probe
         outs[mode] = {
             "ssv": (tmp_path / f"{mode}{seed}.ssv").read_text(),
             "fq1": (tmp_path / f"{mode}{seed}.1.fq").read_bytes(),
