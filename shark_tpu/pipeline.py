@@ -572,7 +572,19 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     # dispatching extract_pairs right after each classify kernel (d2h copy
     # overlaps later device work; the drain then just reads the result).
     # Written by the drain thread, read by the main thread (GIL-safe).
-    spec_state = {"cap": 0}
+    # Pre-arm the speculation for indexes that carry tie groups: their
+    # workloads take the winner-pair-stream path from batch 0, which
+    # otherwise pays one serial extract_pairs dispatch+fetch
+    # (~120 ms measured, bench/profile_txome_e2e.py) before the first
+    # batch teaches the cap. A wrong guess self-corrects: the 4-batch
+    # idle backoff disarms speculation, and _winner_pairs recomputes
+    # exactly whenever a batch outgrows the speculated cap.
+    pre_cap = (
+        (1 << 14)
+        if getattr(classifier, "groups", None) is not None and not cfg.single
+        else 0
+    )
+    spec_state = {"cap": pre_cap}
     counters = {"group_rows": 0}  # device GROUP verdicts seen (tests)
 
     def drainer():
