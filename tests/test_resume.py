@@ -123,3 +123,78 @@ def test_resume_rejects_gz_outputs(tmp_path):
     cfg.out1_path += ".gz"
     with pytest.raises(ValueError, match="uncompressed"):
         run_pipeline(cfg)
+
+
+def test_resume_through_group_path(tmp_path):
+    """Crash + resume on a homolog-family workload: the group fast path
+    (device GROUP verdicts, host expansion, ordered emit) must survive
+    the checkpoint boundary byte-identically — the expansion merge and
+    the resumed association counters both cross it."""
+    import numpy as np
+
+    rng = np.random.default_rng(777)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    k = 15
+    genes, cores = [], []
+    for fam in range(4):
+        core = bases[rng.integers(0, 4, size=120)].tobytes()
+        cores.append(core)
+        for m in range(5):
+            genes.append(
+                (
+                    f"F{fam}M{m}",
+                    bases[rng.integers(0, 4, size=60)].tobytes()
+                    + core
+                    + bases[rng.integers(0, 4, size=60)].tobytes(),
+                )
+            )
+    fa = tmp_path / "fam.fa"
+    fa.write_bytes(
+        b"".join(b">%s\n%s\n" % (n.encode(), s) for n, s in genes)
+    )
+    reads = []
+    for i in range(240):
+        if i % 2 == 0:
+            core = cores[int(rng.integers(0, len(cores)))]
+            st = int(rng.integers(0, len(core) - 60))
+            reads.append(core[st : st + 60])
+        else:
+            _, gs = genes[int(rng.integers(0, len(genes)))]
+            reads.append(gs[: 60])
+    fq = tmp_path / "s.fq"
+    fq.write_bytes(
+        b"".join(
+            b"@r%04d\n%s\n+\n%s\n" % (i, r, b"I" * len(r))
+            for i, r in enumerate(reads)
+        )
+    )
+
+    def cfg(d, **kw):
+        os.makedirs(d, exist_ok=True)
+        return SharkConfig(
+            fasta_path=str(fa), sample1_path=str(fq),
+            out1_path=f"{d}/out1.fq", ssv_path=f"{d}/out.ssv",
+            k=k, batch_size=32, max_read_len=64, **kw,
+        )
+
+    full_dir, res_dir = str(tmp_path / "full"), str(tmp_path / "res")
+    cfg0 = cfg(full_dir)
+    index = load_or_build_index(cfg0, PhaseTimer())
+    clf = Classifier(index, max_winners=8, c=cfg0.c)
+    assert clf.groups is not None
+    stats_full = run_pipeline(cfg(full_dir), classifier=clf)
+    assert stats_full["group_rows"] > 50, "group path never engaged"
+
+    with pytest.raises(RuntimeError, match="injected"):
+        run_pipeline(
+            cfg(res_dir, resume=True, fail_after_batches=3), classifier=clf
+        )
+    stats = run_pipeline(cfg(res_dir, resume=True), classifier=clf)
+    assert stats["resumed_reads"] == 3 * 32
+    assert stats["group_rows"] > 0  # groups engaged after the boundary too
+    assert stats["n_associations"] == stats_full["n_associations"]
+    for f in ("out.ssv", "out1.fq"):
+        assert (
+            open(f"{res_dir}/{f}", "rb").read()
+            == open(f"{full_dir}/{f}", "rb").read()
+        ), f
