@@ -1125,13 +1125,25 @@ def finish_from_tags(
                         # sub-batch, re-score them exactly through the
                         # recursive heavy finish (group path disabled),
                         # scatter the verdicts back; padding lanes write
-                        # back the original values (scatter-order-safe)
+                        # back the original values via mode="drop"
                         iota_b = jnp.arange(B, dtype=jnp.int32)
-                        sel = jnp.sort(
+                        sel_raw = jnp.sort(
                             jnp.where(need_fix, iota_b, B)
                         )[:fix]
-                        valid = sel < B
-                        sel = jnp.minimum(sel, B - 1)
+                        # clamped indices feed the TAKES only (padding
+                        # lanes read read B-1's data and are discarded);
+                        # the SCATTERS use the raw indices with
+                        # mode="drop" so padding lanes (index B) write
+                        # nothing. The earlier clamp-both-sides version
+                        # wrote take(packed, B-1) — the STALE pre-fix
+                        # verdict — from every padding lane, and
+                        # duplicate-index .at[].set is last-write-wins,
+                        # so an IMPURE read at index B-1 kept its group
+                        # pseudo-gene verdict (emitting gene id n_genes)
+                        # whenever the batch had fewer than `fix` impure
+                        # reads. Regression: test_groups.py
+                        # test_impure_last_read_exact.
+                        sel = jnp.minimum(sel_raw, B - 1)
                         sp, sw, sc, _ = finish_from_tags(
                             jnp.take(tagv, sel, axis=0),
                             jnp.take(payv, sel, axis=0),
@@ -1145,18 +1157,12 @@ def finish_from_tags(
                             has_rows=True,
                             allow_groups=False,
                         )
-                        packed = packed.at[sel].set(
-                            jnp.where(valid, sp, jnp.take(packed, sel))
+                        packed = packed.at[sel_raw].set(sp, mode="drop")
+                        winners = winners.at[sel_raw].set(
+                            sw, mode="drop"
                         )
-                        winners = winners.at[sel].set(
-                            jnp.where(
-                                valid[:, None],
-                                sw,
-                                jnp.take(winners, sel, axis=0),
-                            )
-                        )
-                        best_cov = best_cov.at[sel].set(
-                            jnp.where(valid, sc, jnp.take(best_cov, sel))
+                        best_cov = best_cov.at[sel_raw].set(
+                            sc, mode="drop"
                         )
                     return packed, winners, best_cov, length_
 

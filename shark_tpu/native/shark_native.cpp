@@ -1577,9 +1577,17 @@ int64_t shk_pack_xl(const uint32_t* bf_words, uint64_t n_words,
             tag = 2u;
             pay = (uint32_t)gene_ids[o0] |
                   ((uint32_t)gene_ids[o0 + 1] << 16);
-          } else {
+          } else if (deg >= 3) {
             tag = 3u;
             pay = d3_payload[my_d3];
+          } else {
+            // deg == 0: a set bit with an EMPTY CSR row only occurs in a
+            // corrupt index (the popcount guard cannot see it) — emit a
+            // deterministic in-bounds row-tag with a zero payload rather
+            // than reading d3_payload past its end (my_d3 was not
+            // advanced for this bit)
+            tag = 3u;
+            pay = 0;
           }
           // slot demand: entry16 splits a 32-bit payload across two
           // words; entry8 stores every entry in one (w0, w1) slot pair

@@ -581,7 +581,9 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     # exactly whenever a batch outgrows the speculated cap.
     pre_cap = (
         (1 << 14)
-        if getattr(classifier, "groups", None) is not None and not cfg.single
+        if getattr(classifier, "groups", None) is not None
+        and not cfg.single
+        and cfg.batch_size <= 65536  # the pair stream's own B ceiling
         else 0
     )
     spec_state = {"cap": pre_cap}

@@ -240,3 +240,39 @@ def test_mid_tier_subfix_exact(family_workload):
     want_r, want_g = _oracle_pairs(oracle, reads, 0.6, False)
     np.testing.assert_array_equal(ri, want_r)
     np.testing.assert_array_equal(gi_, want_g)
+
+
+def test_impure_last_read_exact(family_workload):
+    """An IMPURE read at the LAST batch index must get its re-scored
+    verdict. The sub-batch scatter-back used clamped padding indices
+    (min(sel, B-1)), and duplicate-index .at[].set is last-write-wins,
+    so padding lanes (present whenever n_fix < FIX_CAP) overwrote read
+    B-1's corrected verdict with its stale group verdict — emitting the
+    pseudo-gene id n_genes. Regression for the mode='drop' fix; also
+    checks position 0 (the always-correct control)."""
+    records, index, oracle = family_workload
+    rng = np.random.default_rng(9)
+    for where in (-1, 0):
+        reads = _sample(rng, records, 120, "core") + _sample(
+            rng, records, 7, "flank"
+        )
+        # chimera across two different family cores: row hits with TWO
+        # group ids -> need_fix
+        _, s1 = records[0]
+        _, s2 = records[39]  # a different family
+        chimera = s1[110:155] + s2[110:155]
+        if where == -1:
+            reads.append(chimera)
+        else:
+            reads.insert(0, chimera)
+        codes = _encode(reads)
+        clf = Classifier(index, max_winners=8, c=0.6)
+        res = _device(clf, codes)
+        cfg = SharkConfig(c=0.6)
+        ri, gi_ = _winner_pairs(
+            cfg, index, res, len(reads), codes, 8, groups=clf.groups
+        )
+        want_r, want_g = _oracle_pairs(oracle, reads, 0.6, False)
+        np.testing.assert_array_equal(ri, want_r, err_msg=f"where={where}")
+        np.testing.assert_array_equal(gi_, want_g, err_msg=f"where={where}")
+        assert (np.asarray(gi_) < index.n_genes).all()
