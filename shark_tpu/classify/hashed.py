@@ -138,6 +138,15 @@ def _set_bit_positions(index: SharkIndex) -> np.ndarray:
     )
     if got is not None:
         return got
+    import sys as _sys
+
+    if _sys.byteorder != "little":
+        # the u8-view + bitorder="little" trick below maps byte order
+        # into bit positions and is only correct on little-endian hosts
+        # (every TPU host); the native path above is endian-safe
+        raise NotImplementedError(
+            "pure-Python set-bit extraction requires a little-endian host"
+        )
     bw = index.bf_words
     n = int(index.n_set_bits)
     out = np.empty(n, np.uint64)

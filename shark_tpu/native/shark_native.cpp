@@ -853,8 +853,14 @@ int shk_next(void* h, uint8_t* codes, uint8_t* packed, uint8_t* vmask,
   }
   // pack mode no longer materializes the byte-codes array (encode+mask+
   // pack fuse through a row scratch buffer), so a codes request there is
-  // a caller contract violation, not a silent empty read
-  if (codes && !s->pack_mode)
+  // a caller contract violation — fail loudly instead of handing back an
+  // uninitialized buffer as a successful batch
+  if (codes && s->pack_mode) {
+    if (s->err.empty())
+      s->err = "codes output requested from a pack-mode stream";
+    return -1;
+  }
+  if (codes)
     memcpy(codes, b.codes.data(), (size_t)s->batch_size * s->max_len);
   if (s->pack_mode && packed)
     memcpy(packed, b.packed.data(), (size_t)s->batch_size * (s->max_len / 4));
