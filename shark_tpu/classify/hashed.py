@@ -122,7 +122,9 @@ class HashedMeta:
     has_side: bool = False  # any xl spill exists (enables the side cond)
 
 
-def _set_bit_positions(index: SharkIndex) -> np.ndarray:
+def _set_bit_positions(
+    index: SharkIndex, threads: Optional[int] = None
+) -> np.ndarray:
     """Ascending positions of set Bloom bits (uint64), aligned with CSR
     rank order.
 
@@ -134,7 +136,9 @@ def _set_bit_positions(index: SharkIndex) -> np.ndarray:
     from shark_tpu.io.native import set_positions_native
 
     got = set_positions_native(
-        np.ascontiguousarray(index.bf_words), int(index.n_set_bits)
+        np.ascontiguousarray(index.bf_words),
+        int(index.n_set_bits),
+        threads=threads,
     )
     if got is not None:
         return got
@@ -162,12 +166,12 @@ def _set_bit_positions(index: SharkIndex) -> np.ndarray:
     return out
 
 
-def _entry_streams(index: SharkIndex):
+def _entry_streams(index: SharkIndex, threads: Optional[int] = None):
     """(pos, tag, payload, has_rows, deg): one (tag, payload) entry per set
     Bloom position in CSR rank order — the shared input of every hashed
     table layout. Tag semantics per step.TAG_*; tag-3 payloads index the
     COMPACTED deg>=3 row table (build_rows3), not the global CSR rank."""
-    pos = _set_bit_positions(index)
+    pos = _set_bit_positions(index, threads=threads)
     deg = np.diff(index.offsets).astype(np.int64)
     off = index.offsets[:-1].astype(np.int64)
     gene_ids = np.asarray(index.gene_ids)
@@ -203,6 +207,7 @@ def build_hashed_index(
     index: SharkIndex,
     prefer_small: bool = True,
     allow16: bool = True,
+    threads: Optional[int] = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, HashedMeta]]:
     """(table, stash, meta) or None if this index should use the classic
     path (stash overflow at the table-size cap, or rank capacity).
@@ -233,7 +238,7 @@ def build_hashed_index(
     if n_set >= 1 << 31:
         return None  # int32 gene_mat addressing for TAG_ROW ranks
 
-    pos, tag, payload, has_rows, deg = _entry_streams(index)
+    pos, tag, payload, has_rows, deg = _entry_streams(index, threads=threads)
     assert pos.size == n_set
 
     need16 = np.where(deg == 1, 1, 2).astype(np.int64)
@@ -294,6 +299,7 @@ def build_hashed_xl(
     index: SharkIndex,
     lgB: Optional[int] = None,
     side_lgB: Optional[int] = None,
+    threads: Optional[int] = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, HashedMeta]]:
     """(table, side, side_stash, meta) for the GB-scale one-gather layout,
     or None when the classic path should be used instead.
@@ -366,14 +372,18 @@ def build_hashed_xl(
         table = spill = None
         for c in cands:
             cap = decline_cap if c == cands[-1] else 2 * spill_cap
-            res = pack_xl_native(index, d3pay, c, XL_SLOTS, True, cap)
+            res = pack_xl_native(
+                index, d3pay, c, XL_SLOTS, True, cap, threads=threads
+            )
             if res is not None:
                 table, spill, lgB = res[0], res[1], c
                 break
         if table is None:
             return None  # every candidate spilled past the decline cap
     else:
-        pos, tag, payload, has_rows, deg = _entry_streams(index)
+        pos, tag, payload, has_rows, deg = _entry_streams(
+            index, threads=threads
+        )
         need = np.where(deg == 1, 1, 2).astype(np.int64)
         demand = int(need.sum())
         cands = _cands(demand)
@@ -473,11 +483,13 @@ def _pack_table(
     bucket_s = (pos_s & np.uint64(n_buckets - 1)).astype(np.int64)
     if need is not None:
         # need is always where(deg==1, 1, 2) and tag is TAG_D1 iff deg==1
-        # (build_hashed_index/_xl), so re-derive instead of gathering;
-        # spot-check the contract on a sample
-        sample = np.linspace(0, n_set - 1, num=min(n_set, 512), dtype=np.int64)
+        # (build_hashed_index/_xl), so re-derive instead of gathering.
+        # Check the contract on the WHOLE array: a caller violating it
+        # between sampled entries would silently build a wrong table, and
+        # the full vectorized compare costs ~100 ms at 72M entries —
+        # negligible next to the pack itself.
         assert (
-            (need[sample] == 1) == (tag[sample] == TAG_D1)
+            (need == 1) == (tag == TAG_D1)
         ).all(), "need/tag contract violated"
         need_s = np.where(tag_s == TAG_D1, 1, 2).astype(np.int64)
     else:

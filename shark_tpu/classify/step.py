@@ -1301,10 +1301,24 @@ class Classifier:
         c: float = 0.6,
         device=None,
         probe: Optional[str] = None,
+        probe_opts: Optional[dict] = None,
     ):
+        """`probe_opts` tunes the probe-table build without monkeypatching:
+        "threads" (host build parallelism, defaults to min(4, cpu_count)),
+        and — for probe="xl" — "lgB"/"side_lgB" (pinned table geometries,
+        used by A/B benches, fuzz tests, and the multi-chip dryrun to force
+        spill-heavy layouts)."""
         self.index = index
         self.max_winners = max_winners
         self.c = c
+        opts = dict(probe_opts or {})
+        build_threads = opts.pop("threads", None)
+        xl_lgB = opts.pop("lgB", None)
+        xl_side_lgB = opts.pop("side_lgB", None)
+        if opts:
+            raise ValueError(f"unknown probe_opts: {sorted(opts)}")
+        if (xl_lgB is not None or xl_side_lgB is not None) and probe != "xl":
+            raise ValueError("lgB/side_lgB probe_opts require probe='xl'")
         # deduped deg>=3 gene sets for the tie-heavy group fast path; the
         # host expands group verdicts (PACK_GRP) through this
         gi = group_info(index)
@@ -1324,11 +1338,16 @@ class Classifier:
             )
 
             if probe != "xl":
-                built = build_hashed_index(index)
+                built = build_hashed_index(index, threads=build_threads)
             if built is None:
                 # past the 64 MB bucket-table cliff (or forced): the
                 # GB-scale 16-byte-row layout keeps the one-gather probe
-                built_xl = build_hashed_xl(index)
+                built_xl = build_hashed_xl(
+                    index,
+                    lgB=xl_lgB,
+                    side_lgB=xl_side_lgB,
+                    threads=build_threads,
+                )
             if built is None and built_xl is None and probe is not None:
                 raise ValueError(
                     f"{probe} probe table not buildable for this index "

@@ -20,6 +20,7 @@
 // Build: g++ -O3 -march=native -std=c++17 -shared -fPIC -o _shark_native.so
 //        shark_native.cpp -lz
 
+#include <sys/stat.h>
 #include <unistd.h>
 #include <zlib.h>
 
@@ -767,23 +768,50 @@ void* shk_open(const char* fq1, const char* fq2, int batch_size, int max_len,
     }
     s->paired = true;
   }
-  // Parallel first-touch of every ring buffer BEFORE work starts: this VM
+  // Parallel first-touch of the ring buffers BEFORE work starts: this VM
   // class faults fresh anonymous pages at ~2.4 GB/s single-threaded but
   // ~9 GB/s across 4 threads (bench/native_stage_bench.cpp notes), and a
   // cold ring otherwise pays those faults inside the timed pipeline — on
   // short runs (a 500k-read bench pass is 8 batches) the ring never warms
-  // up at all. ~100-700 MB touched in ~30-100 ms here.
+  // up at all. The warm-up is scoped to the slots the input can actually
+  // fill (stat-based batch estimate, gz sizes scaled by a typical 4x
+  // FASTQ ratio, +2 slack): a tiny sample previously pre-committed
+  // batch_size*240 bytes per side for ALL kRing slots plus full
+  // packed/codes buffers (~600-900 MB RSS at batch_size=65536 paired)
+  // before reading a single record. Unwarmed slots allocate on demand in
+  // the producer/encoder (their per-batch resize/reserve is
+  // unconditional), so this is purely a fault-placement optimization.
   {
     size_t raw_cap = (size_t)batch_size * 240;  // ~100bp records; the
     // producer's high-water reservation takes over from batch 2
+    size_t est_bytes = 0;
+    bool unknown = false;
+    for (const char* p : {fq1, fq2}) {
+      if (!p || !p[0]) continue;
+      struct stat st;
+      if (::stat(p, &st) != 0 || st.st_size == 0) {
+        unknown = true;  // pipe/special input: warm everything
+        break;
+      }
+      size_t sz = (size_t)st.st_size;
+      size_t len = std::strlen(p);
+      if (len > 3 && std::strcmp(p + len - 3, ".gz") == 0) sz *= 4;
+      est_bytes += sz;
+    }
+    int warm_slots = kRing;
+    if (!unknown) {
+      size_t per_batch = raw_cap * (s->paired ? 2 : 1);
+      size_t need = est_bytes / per_batch + 2;
+      if (need < (size_t)kRing) warm_slots = (int)need;
+    }
     int nw = 4;
     std::vector<std::thread> warm;
     std::atomic<int> next_slot{0};
     for (int w = 0; w < nw; w++)
-      warm.emplace_back([s, raw_cap, &next_slot] {
+      warm.emplace_back([s, raw_cap, warm_slots, &next_slot] {
         while (true) {
           int i = next_slot.fetch_add(1);
-          if (i >= kRing) return;
+          if (i >= warm_slots) return;
           Batch& b = s->ring[i];
           size_t BL = (size_t)s->batch_size * s->max_len;
           if (s->pack_mode) {

@@ -34,6 +34,7 @@ class DataParallelClassifier(Classifier):
         n_devices: int = 0,
         mesh=None,
         probe=None,
+        probe_opts=None,
     ):
         self.mesh = mesh or make_mesh(n_devices)
         self.n_devices = int(
@@ -45,7 +46,7 @@ class DataParallelClassifier(Classifier):
         # the replicated spec rides the base constructor's placement
         super().__init__(
             index, max_winners=max_winners, c=c, device=self._repl,
-            probe=probe,
+            probe=probe, probe_opts=probe_opts,
         )
 
     def _jit(self, kern, packed: bool):

@@ -956,6 +956,14 @@ def run_pipeline(cfg: SharkConfig, ssv_stream=None, classifier=None) -> dict:
             profile_ctx.__exit__(None, None, None)
 
 
+def _probe_opts(cfg: SharkConfig) -> dict:
+    """Probe-table build options from the config. -t above the default
+    raises the native pack/scan parallelism past its min(4, cpu) default
+    (larger hosts); the unconfigured -t 1 keeps that default rather than
+    forcing a single-threaded build."""
+    return {"threads": cfg.threads} if cfg.threads > 1 else {}
+
+
 def _run_pipeline_inner(
     cfg: SharkConfig, ssv_stream, timer: PhaseTimer, classifier=None
 ) -> dict:
@@ -1004,11 +1012,12 @@ def _run_pipeline_inner(
 
         classifier = DataParallelClassifier(
             index, max_winners=cfg.max_winners, c=cfg.c,
-            n_devices=cfg.devices, probe=probe,
+            n_devices=cfg.devices, probe=probe, probe_opts=_probe_opts(cfg),
         )
     else:
         classifier = Classifier(
-            index, max_winners=cfg.max_winners, c=cfg.c, probe=probe
+            index, max_winners=cfg.max_winners, c=cfg.c, probe=probe,
+            probe_opts=_probe_opts(cfg),
         )
 
     if cfg.use_native and ssv_stream is None:
