@@ -117,8 +117,14 @@ class StaticMeta:
     rows_bits: int = 0
 
     @classmethod
-    def for_index(cls, index: SharkIndex, max_len: int) -> "StaticMeta":
-        if index.size_bits > MAX_SIZE_BITS:
+    def for_index(
+        cls, index: SharkIndex, max_len: int, allow_wide: bool = False
+    ) -> "StaticMeta":
+        """`allow_wide` is set by the sharded-BF path, whose (hi, lo) limb
+        router (parallel.sharded_bf.shard_owner_local) lifts the int32
+        front end's 2^36-bit ceiling; single-chip kernels keep the
+        guard."""
+        if index.size_bits > MAX_SIZE_BITS and not allow_wide:
             raise ValueError(
                 "Bloom filter too large for single-device int32 addressing; "
                 "use the sharded-BF mode"
@@ -660,16 +666,6 @@ def probe_rank(bf_rank: jnp.ndarray, word_idx, bit_off, win_valid):
     return jnp.where(hit, rank.astype(jnp.int32), 0), hit
 
 
-def probe_local(bf_rank, gene_mat, word_idx, bit_off, win_valid):
-    """Two-gather probe against FULL-width gene rows (sharded-BF path).
-
-    Returns (gm u16[..., D+1], hit bool[...]): row 0 of gm is the degree,
-    valid only where hit."""
-    r, hit = probe_rank(bf_rank, word_idx, bit_off, win_valid)
-    gm = take_rows(gene_mat, r)
-    return gm, hit
-
-
 def probe_tags(dix: DeviceIndex, word_idx, bit_off, win_valid):
     """Classic two-gather probe to (tag, payload) per window.
 
@@ -687,50 +683,6 @@ def probe_tags(dix: DeviceIndex, word_idx, bit_off, win_valid):
         (w0 & jnp.uint32(0xFFFF)) | ((w1 & jnp.uint32(0xFFFF)) << 16),
     )
     return tagv, payv
-
-
-def finish_kernel(
-    gm: jnp.ndarray,  # uint16[B, Ls, D+1]
-    hit: jnp.ndarray,  # bool[B, Ls]
-    codes: jnp.ndarray,  # uint8[B, L]
-    thresh: jnp.ndarray,  # int32[L+1]
-    *,
-    meta: StaticMeta,
-    max_winners: int,
-    ext_mat: Optional[jnp.ndarray] = None,
-):
-    """Coverage scoring + winner selection from per-probe gene rows.
-    Column j of gm/hit is the window ending at position j + (L - Ls).
-
-    With meta.ext_w > 0 some rows overflow the inline gene slots: their
-    first D-2 genes are inline and the tail lives in `ext_mat`, addressed
-    by the 32-bit index in slots D-1, D. Overflowing probes compact to
-    EXT_CAP2 per read for one small second gather; a read whose overflow
-    exceeds that (or whose row tail exceeds ext_w, or ext_mat is absent —
-    the sharded path) gets the PACK_OVF flag and is recomputed exactly on
-    the host."""
-    B, L = codes.shape
-    Ls = hit.shape[1]
-    off = L - Ls
-    D = meta.degree
-    pos_bits = meta.pos_bits
-    assert L <= (1 << pos_bits)
-    assert gm.shape[-1] == D + 1
-
-    length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
-    keys, row_ovf = keys_from_gm(
-        gm, hit, meta=meta, L=L, off=off, ext_mat=ext_mat
-    )
-    key_mat = jnp.concatenate(keys, axis=1)
-    return finish_from_keys(
-        key_mat,
-        length,
-        thresh,
-        row_ovf,
-        meta=meta,
-        max_winners=max_winners,
-        L=L,
-    )
 
 
 def keys_from_gm(

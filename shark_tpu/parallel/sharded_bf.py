@@ -4,19 +4,39 @@ The reference has no analogue (its index is a single shared-memory
 structure, bloomfilter.h:36-203); this is the TPU-native scale-out design
 from SURVEY.md §5/§7: partition the Bloom address space across the mesh,
 route each probe to the owner chip over ICI with `all_to_all`, and return
-each probe's (degree, gene-list) row to the read's home chip, where the
-coverage/winner reduction runs exactly as in the replicated path.
+the owner's answer to the read's home chip, where the coverage/winner
+reduction runs exactly as in the replicated path.
 
 Inside one `shard_map` over mesh axis "dp", each device holds
   - a batch shard  codes[B/n, L]
-  - an index shard: the bf_rank words and gene rows of its contiguous
-    1/n-th of the Bloom address space (ranks are LOCAL to the shard, so
-    each shard is a complete mini-index of its range)
+  - an index shard: the bf_rank words and (tag, payload) rows of its
+    contiguous 1/n-th of the Bloom address space (ranks are LOCAL to the
+    shard, so each shard is a complete mini-probe-index of its range)
+  - a REPLICATED copy of the small compacted deg>=3 row tables
+    (rows3/ext_mat — ~1% of set bits, megabytes not gigabytes)
 and one step performs:
   hash -> owner = word_idx // words_per_shard
   bucket-compact probes by owner (sort + positional pack, fixed capacity)
-  all_to_all probe buckets -> owners probe locally (two gathers)
-  all_to_all replies back -> scatter into [B/n, L, D+1] -> finish_kernel
+  all_to_all probe buckets -> owners probe locally (two 8-byte gathers:
+    bf_rank, then the pay (tag, payload) row — identical to the classic
+    single-chip probe, step.probe_tags)
+  all_to_all the 8-byte (tag, payload) replies back -> scatter to window
+  positions -> the SHARED finish_from_tags back-end (rows3 resolved on
+  the home chip from the replicated tables; group fast path, extension
+  rows, and host-recompute escapes all behave exactly as single-chip)
+
+Both all_to_all rounds move 8 bytes per probe (request: local word + bit;
+reply: tag/payload words) — the measured-fast wire shape (8-byte rows
+gather at ~100-200M rows/s at any scale, docs/PERF.md). An earlier design
+returned full-width `[cap, D+1]` uint16 gene rows (up to ~130 B/probe at
+D=64) and finished through a separate full-width kernel; the (tag,
+payload) wire cuts reply bytes 8-16x and removes the last back-end fork.
+
+Address capacity: the shard router works in (hi, lo) uint32 limbs, so the
+GLOBAL Bloom size may exceed the single-chip int32 ceiling of 2^36 bits
+(reference -b accepts any size, argument_parser.hpp:130-133); each SHARD
+must still fit int32 word addressing (8 GiB of bit-vector per shard —
+add devices to grow further).
 
 Bucket capacity defaults to an adaptive binomial-tail bound (mean + 8
 sigma): XXH64 spreads DISTINCT k-mers uniformly, so for i.i.d. probes the
@@ -37,33 +57,45 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 from shark_tpu.classify.step import (
     MAX_SIZE_BITS,
+    TAG_ROW,
     StaticMeta,
+    bloom_positions,
+    build_pay,
+    build_rows3,
     emit_threshold_table,
-    finish_kernel,
-    hash_positions,
-    probe_local,
+    finish_from_tags,
+    group_info,
+    probe_rank,
+    take_rows,
+    unpack_codes,
 )
 from shark_tpu.index.structure import SharkIndex
+from shark_tpu.ops.kmers import INVALID
 from shark_tpu.parallel.mesh import make_mesh
 
 MISS_SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
 class ShardIndexArrays(NamedTuple):
-    """Per-shard device arrays (leading shard axis): the sharded path keeps
-    FULL-width gene rows because they ride the all_to_all reply."""
+    """Per-shard device arrays (leading shard axis). `pay` rows are the
+    classic probe's 8-byte (tag<<30 | g0, g1-or-rows3-index) rows
+    (step.build_pay), indexed by shard-LOCAL CSR rank; tag-3 payloads
+    carry GLOBAL compacted-rows3 indices, resolved on the read's home
+    chip from the replicated rows3/ext tables."""
 
-    bf_rank: jnp.ndarray  # uint32[n, wps, 2]
-    gene_mat: jnp.ndarray  # uint16[n, max_rows, D+1]
+    bf_rank: jnp.ndarray  # uint32[n, wps, 2]: (bloom word, LOCAL rank)
+    pay: jnp.ndarray  # uint32[n, rows_max, 2]
 
 
 def shard_index(index: SharkIndex, n: int):
-    """Split a host SharkIndex into n address-range shards of per-shard
-    arrays, stacked on a leading shard axis for shard_map consumption."""
+    """Split a host SharkIndex into n address-range shards, stacked on a
+    leading shard axis for shard_map consumption. Returns
+    (bf_ranks u32[n, wps, 2], pays u32[n, rows_max, 2], wps,
+    counts int64[n] — real (unpadded) pay rows per shard)."""
     n_words = index.bf_words.size
     if n_words % n != 0:
         raise ValueError(f"{n_words} bloom words not divisible by {n} shards")
@@ -75,19 +107,8 @@ def shard_index(index: SharkIndex, n: int):
             f"{wps} bloom words per shard exceeds int32 addressing; "
             "use more devices"
         )
-    deg_all = np.diff(index.offsets).astype(np.int64)
-    # capped-degree rows with ONE geometry across shards; the extension
-    # table does not ride the all_to_all — reads hitting deg>D rows carry
-    # the PACK_OVF flag and recompute exactly on the host (rare by
-    # construction; see classify/step.py GENE_INLINE_CAP)
-    from shark_tpu.classify.step import build_gene_rows, index_geometry
-
-    geometry = index_geometry(index)
-    D = geometry[0]
-    # per-shard set-bit counts via the word rank at shard boundaries
+    pay = build_pay(index)
     bf_ranks = np.empty((n, wps, 2), dtype=np.uint32)
-    gene_mats = []
-    max_rows = 1
     bounds = np.empty(n + 1, dtype=np.int64)
     bounds[0] = 0
     for s in range(n):
@@ -102,48 +123,84 @@ def shard_index(index: SharkIndex, n: int):
         bounds[s + 1] = end
         bf_ranks[s, :, 0] = index.bf_words[lo_word:hi_word]
         bf_ranks[s, :, 1] = index.word_rank[lo_word:hi_word] - base
-        max_rows = max(max_rows, end - base)
+    counts = np.diff(bounds)
+    if counts.max(initial=0) > 0x7FFFFFFF:
+        raise ValueError("per-shard set-bit count exceeds int32 rank range")
+    rows_max = max(int(counts.max(initial=0)), 1)
+    pays = np.zeros((n, rows_max, 2), dtype=np.uint32)
     for s in range(n):
         base, end = int(bounds[s]), int(bounds[s + 1])
-        lo_assoc = int(index.offsets[base])
-        hi_assoc = int(index.offsets[end])
-        gm, _ = build_gene_rows(
-            deg_all[base:end],
-            np.asarray(index.gene_ids[lo_assoc:hi_assoc]),
-            ext=False,
-            geometry=geometry,
-        )
-        if gm.shape[0] < max_rows:
-            gm = np.vstack(
-                [gm, np.zeros((max_rows - gm.shape[0], D + 1), np.uint16)]
-            )
-        gene_mats.append(gm)
-    return bf_ranks, np.stack(gene_mats), wps, D
+        if end > base:
+            pays[s, : end - base] = pay[base:end]
+    return bf_ranks, pays, wps, counts
+
+
+def shard_owner_local(
+    idx_hi: jnp.ndarray,  # u32[...]: high limb of the Bloom bit address
+    idx_lo: jnp.ndarray,  # u32[...]
+    *,
+    n: int,
+    wps: int,
+    wide: bool,
+):
+    """Global Bloom bit address (hi, lo limbs) -> (owner shard i32,
+    shard-local word i32, bit offset u32).
+
+    `wide=False` (size_bits <= 2^36): the 64-bit word index fits int32 and
+    owner is one integer division — the original addressing.
+    `wide=True`: the word index stays in (hi, lo) u32 limbs; the owner
+    comes from n-1 unrolled 64-bit boundary compares against the constant
+    shard bounds s*wps (pure VPU work — a branchless binary search would
+    need lg(n) per-probe gathers at full per-row issue cost), and the
+    local word is the low limb of word - owner*wps, exact because the
+    difference is < wps < 2^31. This lifts the 2^36-bit global ceiling of
+    the int32 front end (reference -b is unbounded,
+    argument_parser.hpp:130-133)."""
+    bit_off = idx_lo & 31
+    word_lo = (idx_hi << 27) | (idx_lo >> 5)
+    if not wide:
+        word = word_lo.astype(jnp.int32)
+        owner = word // jnp.int32(wps)
+        local = word - owner * jnp.int32(wps)
+        return owner, local, bit_off
+    word_hi = idx_hi >> 5
+    owner = jnp.zeros(idx_lo.shape, jnp.int32)
+    for s in range(1, n):
+        b = s * wps
+        bhi = jnp.uint32(b >> 32)
+        blo = jnp.uint32(b & 0xFFFFFFFF)
+        ge = (word_hi > bhi) | ((word_hi == bhi) & (word_lo >= blo))
+        owner = owner + ge.astype(jnp.int32)
+    # low 32 bits of owner*wps; the u32 subtraction's low limb equals the
+    # true 64-bit difference because 0 <= word - owner*wps < wps < 2^31
+    bnd_lo = owner.astype(jnp.uint32) * jnp.uint32(wps & 0xFFFFFFFF)
+    local = (word_lo - bnd_lo).astype(jnp.int32)
+    return owner, local, bit_off
 
 
 def _route_probe_return(
     dix_shard: ShardIndexArrays,
-    word_idx: jnp.ndarray,  # int32[b, L] global word indices
-    bit_off: jnp.ndarray,  # uint32[b, L]
-    win_valid: jnp.ndarray,  # bool[b, L]
+    owner: jnp.ndarray,  # i32[b, Ls] owning shard per window
+    local_word: jnp.ndarray,  # i32[b, Ls] shard-local word index
+    bit_off: jnp.ndarray,  # u32[b, Ls]
+    win_valid: jnp.ndarray,  # bool[b, Ls]
     *,
     n: int,
-    wps: int,
     cap: int,
-    D: int,
     axis: str,
 ):
-    """The all_to_all hash-routing round. Returns (gm [b,L,D+1], hit [b,L],
-    overflow count)."""
-    b, L = word_idx.shape
+    """The all_to_all hash-routing round. Returns (tagv u32[b,Ls],
+    payv u32[b,Ls], overflow count) — the same (tag, payload) stream the
+    single-chip probe front-ends produce (step.TAG_* semantics)."""
+    b, L = owner.shape
     Pn = b * L
-    flat_word = word_idx.reshape(Pn)
+    flat_owner = owner.reshape(Pn)
+    flat_local = local_word.reshape(Pn).astype(jnp.uint32)
     flat_bit = bit_off.reshape(Pn).astype(jnp.uint32)
     flat_valid = win_valid.reshape(Pn)
 
-    owner = (flat_word // wps).astype(jnp.int32)
     # sort probes by owner, keeping original position
-    sort_key = owner.astype(jnp.uint32) * jnp.uint32(Pn) + jax.lax.iota(
+    sort_key = flat_owner.astype(jnp.uint32) * jnp.uint32(Pn) + jax.lax.iota(
         jnp.uint32, Pn
     )
     sort_key = jnp.where(flat_valid, sort_key, jnp.uint32(n) * jnp.uint32(Pn))
@@ -165,15 +222,14 @@ def _route_probe_return(
     # once a shard covers >= 2^27 bloom words (wps*32 >= 2^32), silently
     # corrupting output in exactly the bigger-than-HBM regime this mode
     # targets. The word lane's sentinel is safe: local words are < wps,
-    # and shard_index rejects wps >= 2^32 - 1.
-    g_word = jnp.take(flat_word, s_pos)
+    # and shard_index rejects wps > 2^31 - 1.
+    g_local = jnp.take(flat_local, s_pos)
     g_bit = jnp.take(flat_bit, s_pos)
     g_valid = jnp.take(flat_valid, s_pos)
-    local_word = (g_word - s_owner * wps).astype(jnp.uint32)
     send = jnp.full((n, cap, 2), MISS_SENTINEL, dtype=jnp.uint32)
     payload = jnp.stack(
         [
-            jnp.where(ok & g_valid, local_word, MISS_SENTINEL),
+            jnp.where(ok & g_valid, g_local, MISS_SENTINEL),
             g_bit,
         ],
         axis=-1,
@@ -184,30 +240,35 @@ def _route_probe_return(
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
     recv = recv.reshape(n, cap, 2)
 
-    # owner-side probe of the local shard
+    # owner-side probe of the local shard: exactly the classic two-gather
+    # probe (step.probe_tags semantics) against the shard's 8-byte rows
     r_valid = recv[..., 0] != MISS_SENTINEL
     r_word = jnp.where(r_valid, recv[..., 0], 0).astype(jnp.int32)
     r_bit = recv[..., 1] & 31  # keep shift amounts defined on empty slots
-    gm_r, hit_r = probe_local(
-        dix_shard.bf_rank, dix_shard.gene_mat, r_word, r_bit, r_valid
-    )
-    reply = jnp.where(
-        hit_r[..., None], gm_r, jnp.uint16(0)
-    )  # [n, cap, D+1]
+    rank, hit = probe_rank(dix_shard.bf_rank, r_word, r_bit, r_valid)
+    pw = take_rows(dix_shard.pay, rank)  # [n, cap, 2]
+    reply = jnp.where(hit[..., None], pw, jnp.uint32(0))
 
-    # route replies back
+    # route the 8-byte (tag, payload) replies back
     back = jax.lax.all_to_all(reply, axis, split_axis=0, concat_axis=0)
-    back = back.reshape(n, cap, D + 1)
+    back = back.reshape(n, cap, 2)
 
-    # scatter replies to original probe positions
-    gm_flat = jnp.zeros((Pn, D + 1), dtype=jnp.uint16)
-    vals = back[s_owner, slot]  # [Pn, D+1] (garbage where !ok)
-    gm_flat = gm_flat.at[jnp.where(ok, s_pos, Pn)].set(
+    # scatter replies to original probe positions (zeros = miss, tag 0)
+    flat_pw = jnp.zeros((Pn, 2), dtype=jnp.uint32)
+    vals = back[s_owner, slot]  # [Pn, 2] (garbage where !ok)
+    flat_pw = flat_pw.at[jnp.where(ok, s_pos, Pn)].set(
         jnp.where(ok[:, None], vals, 0), mode="drop"
     )
-    gm = gm_flat.reshape(b, L, D + 1)
-    hit = gm[..., 0] > 0
-    return gm, hit, overflow
+    pw2 = flat_pw.reshape(b, L, 2)
+    w0 = pw2[..., 0]
+    w1 = pw2[..., 1]
+    tagv = w0 >> 30
+    payv = jnp.where(
+        tagv == TAG_ROW,
+        w1,
+        (w0 & jnp.uint32(0xFFFF)) | ((w1 & jnp.uint32(0xFFFF)) << 16),
+    )
+    return tagv, payv, overflow
 
 
 class ShardedBFClassifier:
@@ -222,6 +283,7 @@ class ShardedBFClassifier:
         mesh: Mesh | None = None,
         n_devices: int = 0,
         slack: float | None = None,
+        force_wide: bool = False,
     ):
         self.index = index
         self.max_winners = max_winners
@@ -238,25 +300,34 @@ class ShardedBFClassifier:
                     f"{a!r} has size {self.mesh.shape[a]})"
                 )
         self.n = int(self.mesh.shape[self.axis])
-        # the probe front end packs the GLOBAL bloom word index into int32
-        # (hash_positions), so the total index size is capped regardless
-        # of device count; fail here with an honest message instead of a
-        # circular "use the sharded-BF mode" from the first batch
-        if index.size_bits > MAX_SIZE_BITS:
-            raise ValueError(
-                f"Bloom filter ({index.size_bits} bits) exceeds the probe "
-                f"front end's int32 word addressing ({MAX_SIZE_BITS} bits) "
-                "— the sharded-BF mode shards HBM footprint, not the "
-                "address space"
-            )
+        # past the single-chip int32 front end the router switches to
+        # (hi, lo) limb word addressing (shard_owner_local); force_wide
+        # pins that path for equality testing at small sizes
+        self.wide = force_wide or index.size_bits > MAX_SIZE_BITS
         self.slack = slack  # None = adaptive binomial-tail cap
         self.cap_mult = 1.0  # grown by reprobe() after an overflow
-        bf_ranks, gene_mats, self.wps, self.D = shard_index(index, self.n)
+        bf_ranks, pays, self.wps, _ = shard_index(index, self.n)
         shard0 = NamedSharding(self.mesh, P(self.axis))
+        repl = NamedSharding(self.mesh, P())
         self.dix = ShardIndexArrays(
             bf_rank=jax.device_put(bf_ranks, shard0),
-            gene_mat=jax.device_put(gene_mats, shard0),
+            pay=jax.device_put(pays, shard0),
         )
+        # replicated compacted deg>=3 row tables + deduped gene groups:
+        # the home-chip finish is the SAME back-end as the single-chip
+        # kernels (finish_from_tags), group fast path included
+        self._has_rows = bool((np.diff(index.offsets) >= 3).any())
+        rows3, ext_mat = (
+            build_rows3(index)
+            if self._has_rows
+            else (np.zeros((1, 2), np.uint16), None)
+        )
+        self._rows3 = jax.device_put(rows3, repl)
+        self._ext_mat = (
+            jax.device_put(ext_mat, repl) if ext_mat is not None else None
+        )
+        gi = group_info(index)
+        self.groups = gi[1] if gi is not None else None
         self._fns = {}
         self._thresh = {}
 
@@ -322,8 +393,11 @@ class ShardedBFClassifier:
         fn = self._fns.get(key)
         if fn is not None:
             return fn
-        meta = StaticMeta.for_index(self.index, L)
-        n, wps, D, axis = self.n, self.wps, self.D, self.axis
+        meta = StaticMeta.for_index(self.index, L, allow_wide=True)
+        n, wps, axis = self.n, self.wps, self.axis
+        wide = self.wide
+        has_rows = self._has_rows
+        has_ext = self._ext_mat is not None
         b = B // n
         # routing sort keys are owner*Pn + slot in uint32 (sentinel n*Pn)
         pn = b * max(L - meta.k + 1, 1)
@@ -335,47 +409,63 @@ class ShardedBFClassifier:
         cap = self._probe_cap(b, L)
         max_winners = self.max_winners
 
-        def step(dix_shard, thresh, *data):
+        def step(dix_shard, thresh, rows3, *data):
             # shapes inside shard_map: codes [b, L]; dix_shard has the
-            # leading shard axis reduced to 1 -> squeeze it
+            # leading shard axis reduced to 1 -> squeeze it; rows3/ext
+            # arrive replicated (full arrays on every device)
             dix_local = ShardIndexArrays(
-                bf_rank=dix_shard.bf_rank[0], gene_mat=dix_shard.gene_mat[0]
+                bf_rank=dix_shard.bf_rank[0], pay=dix_shard.pay[0]
             )
+            if has_ext:
+                ext_mat, *data = data
+            else:
+                ext_mat = None
             if packed:
-                from shark_tpu.classify.step import unpack_codes
-
                 codes = unpack_codes(*data)
             else:
                 (codes,) = data
-            word_idx, bit_off, win_valid = hash_positions(codes, meta)
-            gm, hit, ovf = _route_probe_return(
+            idx_hi, idx_lo, win_valid = bloom_positions(codes, meta)
+            owner, local_word, bit_off = shard_owner_local(
+                idx_hi, idx_lo, n=n, wps=wps, wide=wide
+            )
+            tagv, payv, ovf = _route_probe_return(
                 dix_local,
-                word_idx,
+                owner,
+                local_word,
                 bit_off,
                 win_valid,
                 n=n,
-                wps=wps,
                 cap=cap,
-                D=D,
                 axis=axis,
             )
-            out = finish_kernel(
-                gm, hit, codes, thresh, meta=meta, max_winners=max_winners
+            length = jnp.sum((codes < INVALID).astype(jnp.int32), axis=1)
+            out = finish_from_tags(
+                tagv,
+                payv,
+                length,
+                thresh,
+                rows3=rows3,
+                ext_mat=ext_mat,
+                meta=meta,
+                max_winners=max_winners,
+                L=L,
+                has_rows=has_rows,
             )
             return out + (ovf[None],)
 
         mesh = self.mesh
         data_specs = (P(self.axis), P(self.axis)) if packed else (P(self.axis),)
+        ext_specs = (P(),) if has_ext else ()
         fn = jax.jit(
             jax.shard_map(
                 step,
                 mesh=mesh,
                 in_specs=(
-                    ShardIndexArrays(
-                        bf_rank=P(self.axis), gene_mat=P(self.axis)
-                    ),
+                    ShardIndexArrays(bf_rank=P(self.axis), pay=P(self.axis)),
+                    P(),
                     P(),
                 )
+                + ext_specs
                 + data_specs,
                 out_specs=(
                     P(self.axis),
@@ -394,17 +484,19 @@ class ShardedBFClassifier:
             )
         return fn
 
+    def _call(self, fn, L: int, *data):
+        ext = (self._ext_mat,) if self._ext_mat is not None else ()
+        return fn(self.dix, self._thresh[L], self._rows3, *ext, *data)
+
     def __call__(self, codes: np.ndarray):
         B, L = codes.shape
         if B % self.n != 0:
             raise ValueError(f"batch {B} not divisible by {self.n} devices")
-        fn = self._fn(B, L)
-        return fn(self.dix, self._thresh[L], codes)
+        return self._call(self._fn(B, L), L, codes)
 
     def call_packed(self, packed: np.ndarray, vmask: np.ndarray):
         B = packed.shape[0]
         L = packed.shape[1] * 4
         if B % self.n != 0:
             raise ValueError(f"batch {B} not divisible by {self.n} devices")
-        fn = self._fn(B, L, packed=True)
-        return fn(self.dix, self._thresh[L], packed, vmask)
+        return self._call(self._fn(B, L, packed=True), L, packed, vmask)

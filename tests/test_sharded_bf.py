@@ -51,35 +51,107 @@ def test_sharded_rejects_multi_axis_mesh(workload):
         ShardedBFClassifier(index, mesh=Mesh(devs, ("dp", "tp")))
 
 
-def test_sharded_rejects_oversized_filter(workload):
-    """The probe front end packs the GLOBAL word index into int32; the
-    sharded mode must say so up front, not raise a circular 'use the
-    sharded-BF mode' from the first batch."""
-    from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
-
+def test_oversized_filter_routes_wide(workload):
+    """size_bits past the single-chip int32 ceiling must select the wide
+    (hi, lo) limb router instead of raising (the 2^36-bit parity gap,
+    reference argument_parser.hpp:130-133 accepts any -b); the SINGLE-chip
+    guard must keep firing."""
     from dataclasses import replace
+
+    from shark_tpu.classify.step import StaticMeta
+    from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
 
     index, _ = workload
     big = replace(index, size_bits=1 << 37)
-    with pytest.raises(ValueError, match="int32 word addressing"):
-        ShardedBFClassifier(big, n_devices=8)
+    clf = ShardedBFClassifier(big, n_devices=8)
+    assert clf.wide
+    # the jit wrapper must trace/lower with the limb router in place
+    clf._fn(64, 128)
+    # the single-chip front end still rejects what it cannot address
+    with pytest.raises(ValueError, match="single-device int32"):
+        StaticMeta.for_index(big, 128)
+    # meta construction for the sharded path succeeds
+    StaticMeta.for_index(big, 128, allow_wide=True)
+
+
+def test_wide_owner_local_math():
+    """The (hi, lo) limb owner/local-word computation must match a uint64
+    numpy oracle at a REAL >2^36-bit geometry (the regime the wide path
+    exists for), including shard-boundary-adjacent words."""
+    import jax.numpy as jnp
+
+    from shark_tpu.parallel.sharded_bf import shard_owner_local
+
+    n = 8
+    size_bits = (1 << 37) + (5 << 33)  # non-power-of-two, > 2^36
+    n_words = size_bits // 32
+    assert n_words % n == 0
+    wps = n_words // n
+    rng = np.random.default_rng(11)
+    addr = (rng.integers(0, 1 << 62, size=4096, dtype=np.int64).astype(np.uint64)
+            % np.uint64(size_bits))
+    # exercise every boundary's +-1 word neighborhood explicitly
+    edges = []
+    for s in range(1, n):
+        for d in (-1, 0, 1):
+            edges.append((s * wps + d) * 32 + 7)
+    addr = np.concatenate([addr, np.asarray(edges, np.uint64)])
+    word = addr >> np.uint64(5)
+    exp_owner = (word // np.uint64(wps)).astype(np.int64)
+    exp_local = (word - exp_owner.astype(np.uint64) * np.uint64(wps)).astype(
+        np.int64
+    )
+    exp_bit = (addr & np.uint64(31)).astype(np.int64)
+    idx_hi = jnp.asarray((addr >> np.uint64(32)).astype(np.uint32))
+    idx_lo = jnp.asarray((addr & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    owner, local, bit = shard_owner_local(
+        idx_hi, idx_lo, n=n, wps=wps, wide=True
+    )
+    np.testing.assert_array_equal(np.asarray(owner), exp_owner)
+    np.testing.assert_array_equal(np.asarray(local), exp_local)
+    np.testing.assert_array_equal(np.asarray(bit).astype(np.int64), exp_bit)
+
+
+def test_wide_matches_single(workload):
+    """force_wide pins the limb router at a small size where results can
+    execute: the wide pipeline end-to-end must equal the single-device
+    classifier bit for bit."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
+
+    index, codes = workload
+    single = Classifier(index, max_winners=8, c=0.6)
+    wide = ShardedBFClassifier(
+        index, max_winners=8, c=0.6, n_devices=8, force_wide=True
+    )
+    assert wide.wide
+    ref = [np.asarray(x) for x in single(codes)]
+    got = [np.asarray(x) for x in wide(codes)]
+    assert int(got[4].sum()) == 0, "probe bucket overflow"
+    for name, a, b in zip(("packed", "winners", "best_cov", "length"), ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=name)
 
 
 def test_shard_index_partition(workload):
+    from shark_tpu.classify.step import build_pay
     from shark_tpu.parallel.sharded_bf import shard_index
 
     index, _ = workload
-    bf_ranks, gene_mats, wps, D = shard_index(index, 8)
+    bf_ranks, pays, wps, counts = shard_index(index, 8)
     assert bf_ranks.shape[0] == 8 and bf_ranks.shape[1] == wps
     # reassembled words must equal the original bit-vector
     np.testing.assert_array_equal(
         bf_ranks[:, :, 0].reshape(-1), index.bf_words
     )
-    # per-shard gene rows must cover every set bit's list exactly
-    total_deg = sum(
-        int(gene_mats[s][:, 0].astype(np.int64).sum()) for s in range(8)
-    )
-    assert total_deg == index.gene_ids.size
+    # concatenated per-shard (tag, payload) rows must equal the global
+    # classic probe table exactly (same 8-byte rows ride the reply wire)
+    pay = build_pay(index)
+    got = np.concatenate([pays[s, : counts[s]] for s in range(8)])
+    np.testing.assert_array_equal(got, pay)
+    assert int(counts.sum()) == index.n_set_bits
 
 
 def test_sharded_matches_single(workload):
