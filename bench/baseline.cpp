@@ -167,8 +167,12 @@ struct GeneState {
   int cov = 0, hits = 0, last = 0;
 };
 
-// Classify one read; returns number of associations emitted.
-static int classify(const Index& ix, const std::string& seq, int k, double c) {
+// Classify one read; returns number of associations emitted. When `out`
+// is non-null, also appends the winning gene ids (ascending — std::map
+// iteration order) so a full-sample association dump can be compared
+// against the TPU pipeline's ssv, not just the counts.
+static int classify(const Index& ix, const std::string& seq, int k, double c,
+                    std::vector<uint16_t>* out = nullptr) {
   int len = 0;
   for (char ch : seq) len += CODE[(uint8_t)ch] >= 0;
   if (len < k) return 0;
@@ -198,7 +202,14 @@ static int classify(const Index& ix, const std::string& seq, int k, double c) {
       n_win++;
     }
   }
-  if ((double)best_cov >= c * (double)len) return n_win;
+  if ((double)best_cov >= c * (double)len) {
+    if (out) {
+      for (auto& kv : st)
+        if (kv.second.cov == best_cov && kv.second.hits == best_hits)
+          out->push_back((uint16_t)kv.first);
+    }
+    return n_win;
+  }
   return 0;
 }
 
@@ -217,6 +228,10 @@ int main(int argc, char** argv) {
   int threads = atoi(argv[6]);
   const char* fastq2 = (argc > 7 && argv[7][0]) ? argv[7] : nullptr;
   int minq = argc > 8 ? atoi(argv[8]) : 0;
+  // optional 9th arg: write every (read_index, gene_id) association to
+  // this path, sorted — the full-sample exactness comparator for the
+  // transcriptome bench (bench/transcriptome_bench.py)
+  const char* dump = (argc > 9 && argv[9][0]) ? argv[9] : nullptr;
 
   auto t0 = std::chrono::steady_clock::now();
   Index ix;
@@ -262,16 +277,36 @@ int main(int argc, char** argv) {
   std::atomic<long> total_assoc{0};
   std::vector<std::thread> pool;
   size_t n = reads.size();
+  std::vector<std::vector<std::pair<uint32_t, uint16_t>>> dumped(
+      dump ? threads : 0);
   for (int t = 0; t < threads; t++) {
     pool.emplace_back([&, t]() {
       long local = 0;
-      for (size_t i = t; i < n; i += threads)
-        local += classify(ix, reads[i], k, c);
+      std::vector<uint16_t> wins;
+      for (size_t i = t; i < n; i += threads) {
+        if (dump) {
+          wins.clear();
+          local += classify(ix, reads[i], k, c, &wins);
+          for (uint16_t g : wins) dumped[t].push_back({(uint32_t)i, g});
+        } else {
+          local += classify(ix, reads[i], k, c);
+        }
+      }
       total_assoc += local;
     });
   }
   for (auto& th : pool) th.join();
   auto t3 = std::chrono::steady_clock::now();
+
+  if (dump) {
+    std::vector<std::pair<uint32_t, uint16_t>> all;
+    for (auto& v : dumped) all.insert(all.end(), v.begin(), v.end());
+    std::sort(all.begin(), all.end());
+    FILE* f = fopen(dump, "w");
+    if (!f) { fprintf(stderr, "cannot open dump %s\n", dump); return 1; }
+    for (auto& pg : all) fprintf(f, "%u %u\n", pg.first, (unsigned)pg.second);
+    fclose(f);
+  }
 
   double build_s = std::chrono::duration<double>(t1 - t0).count();
   double classify_s = std::chrono::duration<double>(t3 - t2).count();

@@ -71,7 +71,7 @@ def run(n_reads: int = 500_000) -> dict:
     sys.path.insert(0, ROOT)
     import bench as bench_mod
 
-    base = bench_mod.run_baseline(fasta, fastq, best_of=2)
+    base = bench_mod.run_baseline(fasta, fastq, best_of=2, label="homolog")
 
     from shark_tpu.classify.step import Classifier
     from shark_tpu.config import SharkConfig
@@ -103,11 +103,13 @@ def run(n_reads: int = 500_000) -> dict:
     frac_multi = best["n_associations"] / max(1, best["n_reads_out"])
     log(f"assoc/read_out = {frac_multi:.2f} (ties per emitted read)")
     if best["n_associations"] != base["n_associations"]:
-        log(
-            "WARNING: association mismatch vs CPU baseline: "
+        # fatal, not a warning: an exactness violation must fail the
+        # sub-bench (bench.py's guard keeps the primary artifact alive)
+        raise RuntimeError(
+            "homolog association mismatch vs CPU baseline: "
             f"{best['n_associations']} vs {base['n_associations']}"
         )
-    return {
+    out = {
         "metric": "homolog_reads_per_sec",
         "value": round(v, 1),
         "unit": "reads/s",
@@ -119,6 +121,14 @@ def run(n_reads: int = 500_000) -> dict:
         "n_reads_out": best["n_reads_out"],
         "assoc_per_emitted_read": round(frac_multi, 2),
     }
+    # weather-stable device-only signal (see bench.measure_device_only)
+    dm = bench_mod.measure_device_only(
+        clf, fastq, max_len=cfg.max_read_len, batch_size=cfg.batch_size
+    )
+    if dm is not None:
+        out["device_ms"] = round(1000 * dm[0], 1)
+        out["device_reads_per_sec"] = round(dm[1] / dm[0], 1)
+    return out
 
 
 def main():

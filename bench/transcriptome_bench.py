@@ -52,8 +52,9 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
         import shutil
 
         stale_idx = os.path.join(CACHE, f"index{n_genes}.d")
-        if os.path.isdir(stale_idx):
-            shutil.rmtree(stale_idx)
+        for stale in (stale_idx, stale_idx + ".tables"):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         log(f"generating {n_genes} genes x {GENE_LEN}bp + {n_reads} reads ...")
         # gene families (8 members sharing a 300bp core) every 10th gene so
         # the degree histogram has a real multi-gene tail
@@ -117,8 +118,15 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
         f"gene_mat={gene_mat_mb:.0f}MB, build {build_s:.1f}s"
     )
 
-    classifier = Classifier(index, max_winners=cfg.max_winners, c=cfg.c)
-    log(f"probe path: {classifier.probe}")
+    # probe-table cache next to the index: warm starts skip the ~10 s
+    # native xl pack (digest-keyed; a stale/corrupt cache rebuilds)
+    t0 = time.time()
+    classifier = Classifier(
+        index, max_winners=cfg.max_winners, c=cfg.c,
+        probe_opts={"cache_dir": idx_dir + ".tables"},
+    )
+    bench_mod.settle()  # background table-cache write off the timed path
+    log(f"probe path: {classifier.probe} (tables {time.time()-t0:.1f}s)")
     # best of two passes: the first pays one-off jit compiles of the
     # drain path (extract_pairs caps etc.) that amortize to nothing over
     # a real-size sample but dominate 8 batches
@@ -169,6 +177,11 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
                     checked += 1
     log(f"oracle spot-check: {checked} reads exact")
 
+    # weather-stable device-only signal (see bench.measure_device_only)
+    dm = bench_mod.measure_device_only(
+        classifier, fastq, max_len=cfg.max_read_len,
+        batch_size=cfg.batch_size,
+    )
     out = {
         "metric": "txome_reads_per_sec",
         "n_genes": index.n_genes,
@@ -182,22 +195,65 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
         "n_associations": stats["n_associations"],
         "oracle_checked": checked,
     }
+    if dm is not None:
+        out["device_ms"] = round(1000 * dm[0], 1)
+        out["device_reads_per_sec"] = round(dm[1] / dm[0], 1)
 
     # CPU comparator at the same transcriptome scale (the panel-scale
     # vs_baseline says nothing about a 2 GiB-structure cache-miss regime).
     # best_of=1: each invocation pays a full index rebuild (~1 min here).
+    # The comparator run also dumps its FULL (read, gene) association
+    # list; with it, exactness at this scale is total — every one of the
+    # n_reads verdicts compared against an independent implementation —
+    # instead of the former 0.4% oracle sample. A count or content
+    # mismatch is FATAL (bit-exactness violations must fail the bench,
+    # not print a warning); only a comparator *crash* degrades to a
+    # warning, since vs_baseline is a secondary metric.
+    dump_path = os.path.join(CACHE, "base_assoc.txt")
+    base = None
     try:
-        base = bench_mod.run_baseline(fasta, fastq, best_of=1)
-        if base["n_associations"] != stats["n_associations"]:
-            log(
-                "WARNING: txome association mismatch vs CPU baseline: "
-                f"tpu={stats['n_associations']} base={base['n_associations']}"
-            )
-        out["vs_baseline"] = round(
-            out["value"] / base["reads_per_sec"], 3
+        base = bench_mod.run_baseline(
+            fasta, fastq, best_of=1, dump=dump_path, label="txome"
         )
     except Exception as e:  # noqa: BLE001 - comparator only
         log(f"WARNING: txome baseline failed, omitting vs_baseline: {e}")
+    if base is not None:
+        if base["n_associations"] != stats["n_associations"]:
+            raise RuntimeError(
+                "txome association COUNT mismatch vs CPU comparator: "
+                f"tpu={stats['n_associations']} base={base['n_associations']}"
+            )
+        # full-sample equality: comparator pairs are (read_index, gene_id);
+        # the generator writes reads as @r%07d in order and genes as the
+        # fasta order, so the mapping to our ssv's names is exact
+        theirs = []
+        with open(dump_path) as f:
+            for line in f:
+                ri, gi = line.split()
+                theirs.append((f"r{int(ri):07d}", index.gene_names[int(gi)]))
+        ours = []
+        with open(cfg.ssv_path) as f:
+            for line in f:
+                r, g = line.split()
+                ours.append((r, g))
+        # our emission order is input order (reads ascending, genes
+        # ascending within a read) == the sorted dump's order, so compare
+        # directly; fall back to a sorted diff only to report WHERE
+        if ours != sorted(theirs):
+            ours_s, theirs_s = sorted(ours), sorted(theirs)
+            bad = next(
+                (i for i, (a, b) in enumerate(zip(ours_s, theirs_s)) if a != b),
+                min(len(ours_s), len(theirs_s)),
+            )
+            raise RuntimeError(
+                "txome full-sample association mismatch vs CPU comparator "
+                f"at sorted position {bad}: "
+                f"ours={ours_s[bad:bad+3]} theirs={theirs_s[bad:bad+3]}"
+            )
+        log(f"full-sample equality: {len(ours)} associations across "
+            f"{stats['n_reads']} reads match the CPU comparator exactly")
+        out["full_reads_checked"] = stats["n_reads"]
+        out["vs_baseline"] = round(out["value"] / base["reads_per_sec"], 3)
     return out
 
 

@@ -39,15 +39,28 @@ diff "$tmp/out2.fq" /root/reference/example/sharked.sample_2.truth.fq
 echo "golden: OK"
 
 if [[ "${1:-}" == "--tpu" ]]; then
-  echo "== TPU smoke (one tiny batch; first jit pays session init) =="
+  echo "== TPU golden: shipped example end-to-end on the serving backend =="
+  # The acceptance contract (reference README.md:54-69) executed on the
+  # REAL chip: byte-equality of all three truth files. Warmup-dominated:
+  # first jit per process pays the tunneled session init (~150-600 s) —
+  # warm with the compile cache it is ~1 min. The 40 min timeout covers
+  # the worst cold case without hanging CI forever.
+  tput=$(mktemp -d)
+  trap 'rm -rf "$tmp" "$tput"' EXIT
   python - <<'EOF'
-import time
-import numpy as np
-import jax, jax.numpy as jnp
-t0 = time.time()
-x = jnp.arange(8, dtype=jnp.int32)
-np.asarray(x * 2)
-print(f"device {jax.devices()[0].platform} ok, init+exec {time.time()-t0:.1f}s")
+import jax
+plat = jax.devices()[0].platform
+assert plat != "cpu", "no accelerator: the TPU golden would silently test cpu"
+print(f"serving backend: {plat}")
 EOF
+  timeout 2400 python -m shark_tpu \
+    -r /root/reference/example/ENSG00000277117.fa \
+    -1 /root/reference/example/sample_1.fq \
+    -2 /root/reference/example/sample_2.fq \
+    -o "$tput/out1.fq" -p "$tput/out2.fq" > "$tput/out.ssv"
+  diff "$tput/out.ssv" /root/reference/example/ENSG00000277117.truth.ssv
+  diff "$tput/out1.fq" /root/reference/example/sharked.sample_1.truth.fq
+  diff "$tput/out2.fq" /root/reference/example/sharked.sample_2.truth.fq
+  echo "TPU golden: OK"
 fi
 echo "CI gate passed"

@@ -1257,9 +1257,10 @@ class Classifier:
     ):
         """`probe_opts` tunes the probe-table build without monkeypatching:
         "threads" (host build parallelism, defaults to min(4, cpu_count)),
-        and — for probe="xl" — "lgB"/"side_lgB" (pinned table geometries,
-        used by A/B benches, fuzz tests, and the multi-chip dryrun to force
-        spill-heavy layouts)."""
+        "cache_dir" (on-disk packed-table cache, see
+        classify/table_cache.py), and — for probe="xl" — "lgB"/"side_lgB"
+        (pinned table geometries, used by A/B benches, fuzz tests, and the
+        multi-chip dryrun to force spill-heavy layouts)."""
         self.index = index
         self.max_winners = max_winners
         self.c = c
@@ -1267,6 +1268,7 @@ class Classifier:
         build_threads = opts.pop("threads", None)
         xl_lgB = opts.pop("lgB", None)
         xl_side_lgB = opts.pop("side_lgB", None)
+        cache_dir = opts.pop("cache_dir", None)
         if opts:
             raise ValueError(f"unknown probe_opts: {sorted(opts)}")
         if (xl_lgB is not None or xl_side_lgB is not None) and probe != "xl":
@@ -1289,17 +1291,44 @@ class Classifier:
                 build_hashed_xl,
             )
 
-            if probe != "xl":
-                built = build_hashed_index(index, threads=build_threads)
-            if built is None:
-                # past the 64 MB bucket-table cliff (or forced): the
-                # GB-scale 16-byte-row layout keeps the one-gather probe
-                built_xl = build_hashed_xl(
-                    index,
-                    lgB=xl_lgB,
-                    side_lgB=xl_side_lgB,
-                    threads=build_threads,
+            cached = None
+            if cache_dir:
+                from shark_tpu.classify.table_cache import (
+                    load_tables,
+                    save_tables_async,
                 )
+
+                cached = load_tables(
+                    cache_dir, index, probe, lgB=xl_lgB, side_lgB=xl_side_lgB
+                )
+            if cached is not None:
+                kind, arrays = cached
+                if kind == "hashed":
+                    built = arrays
+                else:
+                    built_xl = arrays
+            else:
+                if probe != "xl":
+                    built = build_hashed_index(index, threads=build_threads)
+                if built is None:
+                    # past the 64 MB bucket-table cliff (or forced): the
+                    # GB-scale 16-byte-row layout keeps the one-gather probe
+                    built_xl = build_hashed_xl(
+                        index,
+                        lgB=xl_lgB,
+                        side_lgB=xl_side_lgB,
+                        threads=build_threads,
+                    )
+                if cache_dir and (built is not None or built_xl is not None):
+                    save_tables_async(
+                        cache_dir,
+                        index,
+                        probe,
+                        "hashed" if built is not None else "xl",
+                        built if built is not None else built_xl,
+                        lgB=xl_lgB,
+                        side_lgB=xl_side_lgB,
+                    )
             if built is None and built_xl is None and probe is not None:
                 raise ValueError(
                     f"{probe} probe table not buildable for this index "

@@ -86,6 +86,11 @@ class SharkIndex:
                 },
                 f,
             )
+        # content digest beside the arrays: later loads (and the probe-
+        # table cache keyed on it) skip the ~1 s/GiB hashing pass
+        from shark_tpu.classify.table_cache import write_index_digest
+
+        write_index_digest(path, self)
 
     @classmethod
     def load(cls, path: str) -> "SharkIndex":
@@ -102,12 +107,16 @@ class SharkIndex:
                 )
                 for name in ("bf_words", "word_rank", "offsets", "gene_ids")
             }
-            return cls(
+            out = cls(
                 k=int(meta["k"]),
                 size_bits=int(meta["size_bits"]),
                 gene_names=list(meta["gene_names"]),
                 **arrs,
             )
+            # lets table_cache.index_digest trust the stored digest file
+            # (stat-guarded) instead of re-hashing the arrays
+            out.__dict__["_source_dir"] = path
+            return out
         with np.load(path, allow_pickle=True) as z:
             return cls(
                 k=int(z["k"]),

@@ -960,8 +960,16 @@ def _probe_opts(cfg: SharkConfig) -> dict:
     """Probe-table build options from the config. -t above the default
     raises the native pack/scan parallelism past its min(4, cpu) default
     (larger hosts); the unconfigured -t 1 keeps that default rather than
-    forcing a single-threaded build."""
-    return {"threads": cfg.threads} if cfg.threads > 1 else {}
+    forcing a single-threaded build. With a persisted index
+    (--save-index/--load-index) the packed probe tables cache in a
+    sibling "<index>.tables" directory (classify/table_cache.py: content-
+    digest keyed, crc-verified — a stale or corrupt cache is detected and
+    rebuilt), shaving the ~10 s cold xl pack off warm starts."""
+    opts = {"threads": cfg.threads} if cfg.threads > 1 else {}
+    idx_path = cfg.load_index or cfg.save_index
+    if idx_path:
+        opts["cache_dir"] = idx_path.rstrip("/") + ".tables"
+    return opts
 
 
 def _run_pipeline_inner(
