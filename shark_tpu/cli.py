@@ -61,7 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "parse-only pre-scan picks the native engine's "
                         "geometry; set explicitly to skip the scan)")
     p.add_argument("--backend", default="",
-                   help="jax platform override (e.g. cpu, tpu)")
+                   help="jax platform override (e.g. cpu, tpu), or "
+                        "'native' for the pure-CPU C++ classify path "
+                        "(no accelerator, no jax)")
     p.add_argument("--devices", type=int, default=1,
                    help="data-parallel device count (default: 1)")
     p.add_argument("--sharded-bf", action="store_true",
@@ -151,6 +153,13 @@ def main(argv=None) -> int:
         if not args.coordinator:
             print(
                 "shark-tpu: --num-hosts > 1 requires --coordinator\naborting...",
+                file=sys.stderr,
+            )
+            return 1
+        if args.backend == "native":
+            print(
+                "shark-tpu: --backend native is single-host (use "
+                "--num-hosts 1)\naborting...",
                 file=sys.stderr,
             )
             return 1

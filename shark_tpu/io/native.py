@@ -134,6 +134,21 @@ def get_lib():
         lib.shk_ring_capacity.argtypes = []
         lib.shk_close.restype = ctypes.c_int
         lib.shk_close.argtypes = [ctypes.c_void_p]
+        lib.shk_host_classify.restype = ctypes.c_void_p
+        lib.shk_host_classify.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_uint64, ctypes.c_int,
+        ]
+        lib.shk_host_pairs.restype = ctypes.c_int64
+        lib.shk_host_pairs.argtypes = [ctypes.c_void_p]
+        lib.shk_host_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.shk_host_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -431,6 +446,52 @@ def pack_xl_native(
     if got < 0:
         return None
     return table, spill[:got].copy()
+
+
+def host_classify(
+    index, codes: np.ndarray, n: int, c: float, single: bool,
+    threads: int = 1,
+):
+    """Pure-CPU classify of `n` rows of a [B, L] byte-code batch against
+    the index arrays (the --backend native serving path; oracle-exact
+    semantics, see shk_host_classify). Returns (read_idx i32[P],
+    gene_idx i32[P]) in reference emission order (reads ascending, genes
+    ascending within a read). Raises if the engine is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    bf = np.ascontiguousarray(index.bf_words)
+    wr = np.ascontiguousarray(index.word_rank)
+    offsets = np.ascontiguousarray(index.offsets, dtype=np.int32)
+    gene_ids = np.ascontiguousarray(index.gene_ids, dtype=np.uint16)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    h = lib.shk_host_classify(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(n),
+        codes.shape[1],
+        int(index.k),
+        float(c),
+        1 if single else 0,
+        bf.ctypes.data_as(u32p),
+        wr.ctypes.data_as(u32p),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        gene_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        int(index.size_bits),
+        max(1, threads),
+    )
+    try:
+        p = int(lib.shk_host_pairs(h))
+        ri = np.empty(max(p, 1), np.int32)
+        gi = np.empty(max(p, 1), np.int32)
+        if p:
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.shk_host_fill(
+                h, ri.ctypes.data_as(i32p), gi.ctypes.data_as(i32p)
+            )
+        return ri[:p], gi[:p]
+    finally:
+        lib.shk_host_free(h)
 
 
 def scan_max_fused(fq1: str, fq2: str = "") -> int:

@@ -31,6 +31,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <memory>
 #include <mutex>
 #include <string>
@@ -1055,6 +1056,180 @@ int shk_emit(void* h, int slot, const int32_t* read_idx,
 // exercise the exhaustion guard without hardcoding the constant).
 int shk_ring_capacity() { return kRing; }
 
+}  // extern "C" (reopened below — the host-classify helpers need
+   // templates/namespaces, which C linkage forbids)
+
+// ---- host classify backend (--backend native) ----------------------------
+//
+// Pure-CPU classification against the dense index arrays — the production
+// no-accelerator path (the jax-on-CPU fallback runs the gather-shaped
+// device kernel ~8x slower than this on the same cores, docs/PERF.md
+// "CPU-backend fallback"). Semantics are the executable spec's
+// (classify/oracle.py = reference ReadAnalyzer.hpp:39-109): canonical
+// k-mers with non-ACGT window restarts, XXH64(8B, seed 0) % size, per-gene
+// cov += min(k, pos - last) with every FIRST hit of a gene contributing k
+// (the reference's first-probe pos+1 and the rolling first-touch both
+// reduce to k — see classify/step.py's head-equivalence note), (cov, hits)
+// lexicographic argmax with ties kept (std::map ascending order =
+// reference emission order), and the float64 `cov >= c*len` compare
+// (ReadAnalyzer.hpp:104). Probes hit the SAME index arrays the device
+// uses: bf_words bit test, word_rank + popcount -> CSR rank, gene list =
+// gene_ids[offsets[r]..offsets[r+1]] (index/structure.py).
+
+namespace {
+
+// XXH64 of one 8-byte key, seed 0 — the reference's probe hash
+// (kmer_utils.hpp:81-83); shared by the index build below and the host
+// classify path. Bit-exactness is pinned by known-answer tests through
+// both the build and the ops/xxh64.py limb implementation.
+constexpr uint64_t kP1 = 11400714785074694791ULL;
+constexpr uint64_t kP2 = 14029467366897019727ULL;
+constexpr uint64_t kP3 = 1609587929392839161ULL;
+constexpr uint64_t kP4 = 9650029242287828579ULL;
+constexpr uint64_t kP5 = 2870177450012600261ULL;
+
+inline uint64_t rotl64(uint64_t x, int r) { return (x << r) | (x >> (64 - r)); }
+
+inline uint64_t xxh64_8(uint64_t x) {
+  uint64_t h = kP5 + 8;
+  uint64_t k1 = rotl64(x * kP2, 31) * kP1;
+  h ^= k1;
+  h = rotl64(h, 27) * kP1 + kP4;
+  h ^= h >> 33;
+  h *= kP2;
+  h ^= h >> 29;
+  h *= kP3;
+  h ^= h >> 32;
+  return h;
+}
+
+struct HostGeneState {
+  int cov = 0, hits = 0, last = 0;
+};
+
+// scan_canonical over 2-bit code rows (0..3 valid, >=4 breaks the window)
+// instead of ACGT chars — the encode stage already applied pair fusion and
+// quality masking, exactly like the device front end.
+template <typename F>
+void scan_canonical_codes(const uint8_t* row, int L, int k, F&& f) {
+  uint64_t fwd = 0, rc = 0;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int top = 2 * (k - 1);
+  int run = 0;
+  for (int i = 0; i < L; i++) {
+    uint8_t c = row[i];
+    if (c >= 4) {
+      run = 0;
+      continue;
+    }
+    fwd = ((fwd << 2) | c) & mask;
+    rc = (rc >> 2) | ((uint64_t)(3 - c) << top);
+    if (++run >= k) f(fwd < rc ? fwd : rc, (size_t)i);
+  }
+}
+
+struct HostClassifyResult {
+  std::vector<int32_t> ri, gi;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Classify n_rows of a [*, L] byte-code batch. Returns a result handle;
+// fetch the pair count with shk_host_pairs, copy out with shk_host_fill,
+// free with shk_host_free. Rows split into `threads` contiguous chunks
+// (deterministic read-ascending output regardless of thread count).
+void* shk_host_classify(const uint8_t* codes, int n_rows, int L, int k,
+                        double c, int single_mode,
+                        const uint32_t* bf_words, const uint32_t* word_rank,
+                        const int32_t* offsets, const uint16_t* gene_ids,
+                        uint64_t size_bits, int threads) {
+  auto* res = new HostClassifyResult;
+  int t = threads > 0 ? threads : 1;
+  if (t > n_rows) t = std::max(1, n_rows);
+  std::vector<HostClassifyResult> parts(t);
+  std::vector<std::thread> pool;
+  int per = t ? (n_rows + t - 1) / t : 0;
+  for (int w = 0; w < t; w++) {
+    int lo = w * per, hi = std::min(n_rows, lo + per);
+    if (lo >= hi) continue;
+    pool.emplace_back([&, w, lo, hi] {
+      auto& out = parts[w];
+      std::map<int, HostGeneState> st;
+      for (int i = lo; i < hi; i++) {
+        const uint8_t* row = codes + (size_t)i * L;
+        int len = 0;
+        for (int j = 0; j < L; j++) len += row[j] < 4;
+        if (len < k) continue;
+        st.clear();
+        bool first = true;
+        scan_canonical_codes(row, L, k, [&](uint64_t canon, size_t e) {
+          uint64_t p = xxh64_8(canon) % size_bits;
+          uint32_t word = bf_words[p >> 5];
+          uint32_t bit = (uint32_t)(p & 31);
+          if (!((word >> bit) & 1)) return;
+          uint32_t r =
+              word_rank[p >> 5] +
+              (uint32_t)__builtin_popcount(word & ((1u << bit) - 1));
+          int pos_eff = first ? (int)e + 1 : (int)e;
+          for (int32_t a = offsets[r]; a < offsets[r + 1]; a++) {
+            HostGeneState& s = st[gene_ids[a]];
+            s.cov += std::min(k, pos_eff - s.last);
+            s.hits = first ? 1 : s.hits + 1;
+            s.last = (int)e;
+          }
+          first = false;
+        });
+        int best_cov = 0, best_hits = 0, n_win = 0;
+        for (auto& kv : st) {
+          if (kv.second.cov > best_cov ||
+              (kv.second.cov == best_cov &&
+               kv.second.hits > best_hits)) {
+            best_cov = kv.second.cov;
+            best_hits = kv.second.hits;
+            n_win = 1;
+          } else if (kv.second.cov == best_cov &&
+                     kv.second.hits == best_hits && best_cov > 0) {
+            n_win++;
+          }
+        }
+        if (n_win == 0 || (double)best_cov < c * (double)len) continue;
+        if (single_mode && n_win != 1) continue;
+        for (auto& kv : st)
+          if (kv.second.cov == best_cov && kv.second.hits == best_hits) {
+            out.ri.push_back(i);
+            out.gi.push_back(kv.first);
+          }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  size_t total = 0;
+  for (auto& p : parts) total += p.ri.size();
+  res->ri.reserve(total);
+  res->gi.reserve(total);
+  for (auto& p : parts) {  // chunk order == read-ascending order
+    res->ri.insert(res->ri.end(), p.ri.begin(), p.ri.end());
+    res->gi.insert(res->gi.end(), p.gi.begin(), p.gi.end());
+  }
+  return res;
+}
+
+int64_t shk_host_pairs(void* h) {
+  return (int64_t)((HostClassifyResult*)h)->ri.size();
+}
+
+void shk_host_fill(void* h, int32_t* ri, int32_t* gi) {
+  auto* r = (HostClassifyResult*)h;
+  if (!r->ri.empty()) {
+    memcpy(ri, r->ri.data(), r->ri.size() * sizeof(int32_t));
+    memcpy(gi, r->gi.data(), r->gi.size() * sizeof(int32_t));
+  }
+}
+
+void shk_host_free(void* h) { delete (HostClassifyResult*)h; }
+
 long shk_n_associations(void* h) { return ((Stream*)h)->n_associations; }
 long shk_n_reads_out(void* h) { return ((Stream*)h)->n_reads_out; }
 
@@ -1106,27 +1281,6 @@ int shk_close(void* h) {
 // ---------------------------------------------------------------------------
 
 namespace {
-
-constexpr uint64_t kP1 = 11400714785074694791ULL;
-constexpr uint64_t kP2 = 14029467366897019727ULL;
-constexpr uint64_t kP3 = 1609587929392839161ULL;
-constexpr uint64_t kP4 = 9650029242287828579ULL;
-constexpr uint64_t kP5 = 2870177450012600261ULL;
-
-inline uint64_t rotl64(uint64_t x, int r) { return (x << r) | (x >> (64 - r)); }
-
-inline uint64_t xxh64_8(uint64_t x) {
-  uint64_t h = kP5 + 8;
-  uint64_t k1 = rotl64(x * kP2, 31) * kP1;
-  h ^= k1;
-  h = rotl64(h, 27) * kP1 + kP4;
-  h ^= h >> 33;
-  h *= kP2;
-  h ^= h >> 29;
-  h *= kP3;
-  h ^= h >> 32;
-  return h;
-}
 
 struct BuildResult {
   uint64_t size_bits = 0;

@@ -746,6 +746,119 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     return stats
 
 
+def _run_native_host(cfg: SharkConfig, index: SharkIndex, timer: PhaseTimer) -> dict:
+    """--backend native: the pure-CPU serving path, no accelerator and no
+    jax anywhere. Parse/encode/emit run in the native engine exactly as on
+    the TPU path; classification runs in shk_host_classify worker threads
+    against the dense index arrays with oracle-exact semantics. ~8x the
+    jax-on-CPU fallback's throughput on the same cores (that fallback runs
+    the gather-shaped device kernel through CPU XLA — docs/PERF.md
+    "CPU-backend fallback"); -t maps to classify workers, the reference's
+    phase-3 threading model (main.cpp:219-223), with deterministic
+    input-order output regardless of thread count."""
+    from shark_tpu.io.native import NativeStream, host_classify
+
+    progress_path = ""
+    reads_done0 = 0
+    base_assoc = 0
+    base_reads_out = 0
+    if cfg.resume:
+        if not cfg.ssv_path:
+            raise ValueError(
+                "--resume requires --ssv FILE (stdout cannot be checkpointed)"
+            )
+        if cfg.out1_path.endswith(".gz") or cfg.out2_path.endswith(".gz"):
+            raise ValueError(
+                "--resume requires uncompressed output FASTQs (gzip cannot "
+                "be truncated mid-member)"
+            )
+        progress_path = cfg.ssv_path + ".progress"
+        st0 = _load_progress(progress_path, cfg)
+        if st0 is not None:
+            reads_done0 = int(st0["reads_done"])
+            base_assoc = int(st0.get("n_associations", 0))
+            base_reads_out = int(st0.get("n_reads_out", 0))
+
+    ns = NativeStream(
+        cfg.sample1_path,
+        cfg.sample2_path,
+        cfg.batch_size,
+        cfg.max_read_len,
+        cfg.min_quality,
+        packed=False,  # host classify consumes byte codes directly
+        encode_threads=max(1, min(cfg.threads - 1, 8)),
+    )
+    try:
+        ns.set_output(
+            1, cfg.ssv_path, cfg.out1_path, cfg.out2_path,
+            append=reads_done0 > 0,
+        )
+        ns.register_genes(index.gene_names)
+        timer.mark("Host classify ready")
+        warm_s = timer.elapsed()
+
+        n_reads = 0
+        skip_left = reads_done0
+        while skip_left > 0:
+            nb = ns.next_batch()
+            if nb is None or nb[-1] > skip_left:
+                raise ValueError(
+                    "resume checkpoint claims more classified reads than "
+                    "the sample holds at this batch size"
+                )
+            ns.release(nb[-2])
+            skip_left -= nb[-1]
+        while True:
+            nb = ns.next_batch()
+            if nb is None:
+                break
+            codes, slot, n = nb
+            ri, gi = host_classify(
+                index, codes, n, cfg.c, cfg.single,
+                threads=max(1, cfg.threads),
+            )
+            ns.emit(slot, ri, gi)
+            n_reads += n
+            if progress_path:
+                _write_progress(
+                    progress_path, cfg, reads_done0 + n_reads, ns.tell(),
+                    (
+                        base_assoc + int(ns.n_associations),
+                        base_reads_out + int(ns.n_reads_out),
+                    ),
+                )
+    except BaseException:
+        try:
+            ns.close()
+        except Exception:
+            pass
+        raise
+
+    timer.mark("Sample completed")
+    timer.rate("throughput", n_reads, "reads")
+    elapsed = timer.elapsed()
+    stats = {
+        "n_reads": n_reads + reads_done0,
+        "n_associations": base_assoc + int(ns.n_associations),
+        "n_reads_out": base_reads_out + int(ns.n_reads_out),
+        "n_genes": index.n_genes,
+        "elapsed_s": elapsed,
+        "warmup_s": warm_s,
+        "classify_s": elapsed - warm_s,
+        "native": True,
+        "probe": "host",
+    }
+    if reads_done0:
+        stats["resumed_reads"] = reads_done0
+    ns.close()
+    if progress_path:
+        import os
+
+        if os.path.exists(progress_path):
+            os.remove(progress_path)
+    return stats
+
+
 def load_or_build_index(cfg: SharkConfig, timer: PhaseTimer) -> SharkIndex:
     if cfg.load_index:
         index = SharkIndex.load(cfg.load_index)
@@ -916,12 +1029,12 @@ def run_pipeline(cfg: SharkConfig, ssv_stream=None, classifier=None) -> dict:
     _smoke_check_inputs(cfg)
     timer = PhaseTimer()
 
-    if cfg.backend:
+    if cfg.backend and cfg.backend != "native":
         import jax
 
         jax.config.update("jax_platforms", cfg.backend)
 
-    if cfg.compile_cache:
+    if cfg.compile_cache and cfg.backend != "native":
         # persistent XLA compile cache: repeat runs of the same batch
         # geometry skip the ~10-15 s per-jit remote compile (cache keyed
         # by jax on HLO + compile options; harmless if the dir is cold).
@@ -1003,6 +1116,50 @@ def _run_pipeline_inner(
     else:
         index = load_or_build_index(cfg, timer)
     index_s = timer.elapsed()
+
+    if cfg.backend == "native":
+        # pure-CPU serving path: classification in the native engine,
+        # no jax/device anywhere (_run_native_host)
+        from shark_tpu.io import native as native_mod
+
+        if not native_mod.available():
+            raise RuntimeError(
+                "--backend native requires the native engine (g++ on PATH)"
+            )
+        if ssv_stream is not None or classifier is not None:
+            raise ValueError(
+                "--backend native streams output through the native "
+                "engine; ssv_stream / device classifiers do not apply"
+            )
+        native_len = cfg.max_read_len
+        if not native_len:
+            if join_scan is None and not _regular_files(
+                cfg.sample1_path, cfg.sample2_path
+            ):
+                raise ValueError(
+                    "--backend native with non-seekable input requires "
+                    "--max-read-len (the auto-length pre-pass reads the "
+                    "sample twice)"
+                )
+            mf = join_scan() if join_scan is not None else (
+                native_mod.scan_max_fused(cfg.sample1_path, cfg.sample2_path)
+            )
+            # host classify iterates rows, so long reads only cost
+            # memory; an empty sample still needs a valid batch geometry
+            native_len = _round_len(max(mf, cfg.k), cfg.k)
+        ncfg = cfg
+        if native_len != cfg.max_read_len:
+            from dataclasses import replace
+
+            ncfg = replace(cfg, max_read_len=native_len)
+        stats = _run_native_host(ncfg, index, timer)
+        stats["index_s"] = index_s
+        stats["warmup_s"] -= index_s
+        stats["classify_s"] = stats["elapsed_s"] - index_s - stats["warmup_s"]
+        if native_len != cfg.max_read_len:
+            stats["auto_max_read_len"] = native_len
+        _join_index_save(index, timer)
+        return stats
 
     probe = None if cfg.probe == "auto" else cfg.probe
     if classifier is not None:
