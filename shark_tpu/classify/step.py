@@ -90,6 +90,10 @@ ROW_CAP = 16
 FIX_DIV = 64
 FIX_DIV2 = 16
 
+# Group sub-batch recursion: skip the row-cond machinery (exact either
+# way); trace-time knob so bench/ab_subfix.py can A/B it in one process.
+_SUBFIX_FORCE_FULL = True
+
 # Probe-result tags, shared by every probe front-end (the hashed bucket
 # table and the classic rank->payload gather produce the same
 # (tag, payload) stream; one back-end turns it into verdicts):
@@ -867,13 +871,19 @@ def finish_from_tags(
     L: int,
     has_rows: bool,
     allow_groups: bool = True,
+    force_full_rows: bool = False,
 ):
     """Shared back-end of every probe front-end: (tag, payload) per window
     -> sort keys -> coverage/winner reduction. Degree<=2 windows build
     their keys directly; degree>=3 windows resolve through the compacted
     rows3 table under a batch-level cond so row-free batches never pay the
     gather. `allow_groups=False` disables the tie-heavy group fast path
-    (used by its own sub-batch recursion)."""
+    (used by its own sub-batch recursion); `force_full_rows=True`
+    additionally skips the row-free and column-compaction conds and goes
+    straight to the full-width row resolve — bit-exact (it is those conds'
+    fallback branch), used by the group sub-batch where rows exist by
+    construction (need_fix implies any_row) and every cond is a fusion
+    boundary at a scale too small to amortize it."""
     B, Ls = tagv.shape
     off = L - Ls
     pos_bits = meta.pos_bits
@@ -932,6 +942,9 @@ def finish_from_tags(
 
         def full_branch(_):
             return full_from_gm(take_rows(rows3, row_idx))
+
+        if force_full_rows:
+            return full_branch(None)
 
         heavy = full_branch
         if meta.degree3 >= ROW_COMPACT_MIN_D:
@@ -1108,6 +1121,7 @@ def finish_from_tags(
                             L=L,
                             has_rows=True,
                             allow_groups=False,
+                            force_full_rows=_SUBFIX_FORCE_FULL,
                         )
                         packed = packed.at[sel_raw].set(sp, mode="drop")
                         winners = winners.at[sel_raw].set(
