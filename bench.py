@@ -542,6 +542,8 @@ def main() -> None:
                     out["homolog_device_reads_per_sec"] = res_h[
                         "device_reads_per_sec"
                     ]
+                if "baseline_spread" in res_h:
+                    out["homolog_baseline_spread"] = res_h["baseline_spread"]
         except Exception as e:  # noqa: BLE001 - secondary metric only
             log(f"WARNING: homolog sub-bench failed, omitting its keys: {e}")
 
@@ -572,6 +574,8 @@ def main() -> None:
                     out["txome_device_reads_per_sec"] = res_t[
                         "device_reads_per_sec"
                     ]
+                if "baseline_spread" in res_t:
+                    out["txome_baseline_spread"] = res_t["baseline_spread"]
             except Exception as e:  # noqa: BLE001 - secondary metric only
                 log(f"WARNING: txome sub-bench failed, omitting its keys: {e}")
 

@@ -128,6 +128,11 @@ def run(n_reads: int = 500_000) -> dict:
     if dm is not None:
         out["device_ms"] = round(1000 * dm[0], 1)
         out["device_reads_per_sec"] = round(dm[1] / dm[0], 1)
+    # this module's `import bench` is its own instance when bench.py runs
+    # as __main__, so the spread must ride the result dict
+    sp = bench_mod.baseline_spread("homolog")
+    if sp is not None:
+        out["baseline_spread"] = sp
     return out
 
 

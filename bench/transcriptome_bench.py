@@ -254,6 +254,11 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
             f"{stats['n_reads']} reads match the CPU comparator exactly")
         out["full_reads_checked"] = stats["n_reads"]
         out["vs_baseline"] = round(out["value"] / base["reads_per_sec"], 3)
+        # this module's `import bench` is its own instance when bench.py
+        # runs as __main__, so the spread must ride the result dict
+        sp = bench_mod.baseline_spread("txome")
+        if sp is not None:
+            out["baseline_spread"] = sp
     return out
 
 
