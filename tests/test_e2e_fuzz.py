@@ -145,8 +145,11 @@ def test_e2e_differential_fuzz(tmp_path, seed):
     probe = str(rng.choice(["auto", "classic", "xl"]))
 
     outs = {}
-    for mode in ("native", "python"):
-        if mode == "native" and not native.available():
+    # three full pipelines per seed: the native host engine feeding the
+    # device kernel, the pure-Python I/O path feeding the same kernel,
+    # and the --backend native pure-CPU C++ classify (shk_host_classify)
+    for mode in ("native", "python", "host"):
+        if mode in ("native", "host") and not native.available():
             pytest.skip("native engine unavailable")
         cfg = SharkConfig(
             fasta_path=str(w["fa"]),
@@ -161,12 +164,16 @@ def test_e2e_differential_fuzz(tmp_path, seed):
             # fixed geometry: one jit compile per k across all seeds
             # (auto-length would compile per rounded length bucket)
             max_read_len=256,
-            use_native=(mode == "native"),
+            use_native=(mode != "python"),
+            backend="native" if mode == "host" else "",
             probe=probe,
+            threads=int(rng.integers(1, 4)) if mode == "host" else 1,
         )
         stats = run_pipeline(cfg)
-        assert stats.get("native", False) == (mode == "native")
-        if probe != "auto":
+        assert stats.get("native", False) == (mode != "python")
+        if mode == "host":
+            assert stats["probe"] == "host"
+        elif probe != "auto":
             assert stats["probe"] == probe
         outs[mode] = {
             "ssv": (tmp_path / f"{mode}{seed}.ssv").read_text(),
@@ -180,5 +187,8 @@ def test_e2e_differential_fuzz(tmp_path, seed):
 
     assert outs["native"]["ssv"] == want
     assert outs["python"]["ssv"] == want
+    assert outs["host"]["ssv"] == want
     assert outs["native"]["fq1"] == outs["python"]["fq1"]
     assert outs["native"]["fq2"] == outs["python"]["fq2"]
+    assert outs["host"]["fq1"] == outs["native"]["fq1"]
+    assert outs["host"]["fq2"] == outs["native"]["fq2"]

@@ -142,6 +142,35 @@ def test_mixed_batch_subfix_exact(family_workload):
     np.testing.assert_array_equal(gi_, want_g)
 
 
+def test_subfix_force_full_flag_equality(family_workload):
+    """The sub-batch recursion's cond-skip (step._SUBFIX_FORCE_FULL,
+    default True since the r5 A/B) must be verdict-identical to the
+    cond'd path on a mixed batch — it is the conds' own fallback branch,
+    pinned here so a future cond refactor cannot silently diverge."""
+    from shark_tpu.classify import step as step_mod
+
+    records, index, _ = family_workload
+    rng = np.random.default_rng(11)
+    reads = _sample(rng, records, 200, "core") + _sample(
+        rng, records, 100, "flank"
+    )
+    for _ in range(30):
+        _, seq = records[rng.integers(0, len(records))]
+        start = int(rng.integers(30, 90))
+        reads.append(seq[start : start + 90])
+    codes = _encode(reads)
+    orig = step_mod._SUBFIX_FORCE_FULL
+    try:
+        step_mod._SUBFIX_FORCE_FULL = True
+        res_full = _device(Classifier(index, max_winners=8, c=0.6), codes)
+        step_mod._SUBFIX_FORCE_FULL = False
+        res_cond = _device(Classifier(index, max_winners=8, c=0.6), codes)
+    finally:
+        step_mod._SUBFIX_FORCE_FULL = orig
+    for a, b in zip(res_full, res_cond):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_heavy_fallback_when_over_cap(family_workload):
     """More impure reads than FIX_CAP -> the whole batch takes the exact
     heavy branch (no grp verdicts), still oracle-exact."""
