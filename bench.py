@@ -473,6 +473,37 @@ def main() -> None:
     out = primary_out(ours)
     device_keys("", fastq)
 
+    # The no-accelerator serving path (--backend native, pure-CPU C++
+    # classify): one pass on the single-end workload, so the artifact
+    # itself shows where the CPU-only deployment stands vs the comparator.
+    try:
+        from shark_tpu.config import SharkConfig as _SC
+        from shark_tpu.pipeline import run_pipeline as _rp
+
+        ncfg = _SC(
+            fasta_path=fasta, sample1_path=fastq,
+            out1_path=os.path.join(CACHE, "native_cpu.out.fq"),
+            ssv_path=os.path.join(CACHE, "native_cpu.ssv"),
+            k=K, c=C, bf_gb=BF_BITS >> 33, batch_size=65536,
+            max_read_len=MAX_LEN, backend="native",
+            threads=os.cpu_count() or 1,
+            load_index=os.path.join(CACHE, "index.d"),
+        )
+        nstats = _rp(ncfg)
+        if nstats["n_associations"] != base["n_associations"]:
+            raise RuntimeError(
+                "--backend native association mismatch: "
+                f"{nstats['n_associations']} vs {base['n_associations']}"
+            )
+        v_n = nstats["n_reads"] / nstats["classify_s"]
+        out["native_cpu_reads_per_sec"] = round(v_n, 1)
+        out["native_cpu_vs_baseline"] = round(
+            v_n / base["reads_per_sec"], 3
+        )
+        log(f"--backend native: {out['native_cpu_reads_per_sec']} reads/s")
+    except Exception as e:  # noqa: BLE001 - secondary metric only
+        log(f"WARNING: native-cpu sub-bench failed, omitting its keys: {e}")
+
     # Every stage below is exception-guarded: the driver contract is the
     # ONE JSON line, so no secondary workload may discard the measured
     # primary metric by raising (a transient tunnel error, a baseline

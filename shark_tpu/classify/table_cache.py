@@ -27,6 +27,12 @@ would silently corrupt the byte-exact output invariant):
 
 On any mismatch the loader returns None and the classifier rebuilds from
 the index — the cache can only ever trade time, never correctness.
+
+The cache is SINGLE-SLOT: one (request_probe, geometry) variant lives in
+the directory at a time, so alternating --probe flags against one index
+rebuild+rewrite on each switch (correct, just not cached both ways). The
+dominant use — one serving configuration per index — pays nothing for
+this, and a single slot cannot accumulate stale geometry files.
 """
 
 from __future__ import annotations
