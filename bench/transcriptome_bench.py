@@ -177,11 +177,17 @@ def run(n_genes: int = 50_000, n_reads: int = 500_000) -> dict:
                     checked += 1
     log(f"oracle spot-check: {checked} reads exact")
 
-    # weather-stable device-only signal (see bench.measure_device_only)
-    dm = bench_mod.measure_device_only(
-        classifier, fastq, max_len=cfg.max_read_len,
-        batch_size=cfg.batch_size,
-    )
+    # weather-stable device-only signal (see bench.measure_device_only);
+    # guarded: a diagnostic-metric failure must not discard the measured
+    # primary value (bench.py's own artifact rule)
+    dm = None
+    try:
+        dm = bench_mod.measure_device_only(
+            classifier, fastq, max_len=cfg.max_read_len,
+            batch_size=cfg.batch_size,
+        )
+    except Exception as e:  # noqa: BLE001 - diagnostic only
+        log(f"WARNING: device-only measure failed: {e}")
     out = {
         "metric": "txome_reads_per_sec",
         "n_genes": index.n_genes,

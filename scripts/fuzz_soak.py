@@ -25,61 +25,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np  # noqa: E402
-
-from shark_tpu.config import SharkConfig  # noqa: E402
 from shark_tpu.io import native  # noqa: E402
-from shark_tpu.pipeline import run_pipeline  # noqa: E402
 
 
 def _load_fuzz_mod():
+    """The per-seed differential body lives in tests/test_e2e_fuzz.py
+    (run_three_way) — ONE implementation for the pytest gate and this
+    soak, so the soak can never drift into certifying less."""
     spec = importlib.util.spec_from_file_location(
         "e2e_fuzz_mod", os.path.join(ROOT, "tests", "test_e2e_fuzz.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
-
-
-def run_seed(fuzz, seed: int, tmp) -> None:
-    from pathlib import Path
-
-    tmp_path = Path(tmp)
-    rng = np.random.default_rng(seed)
-    w = fuzz._random_workload(rng, tmp_path, seed)
-    want = fuzz._oracle_ssv(w)
-    probe = str(rng.choice(["auto", "classic", "xl"]))
-    outs = {}
-    for mode in ("native", "python", "host"):
-        cfg = SharkConfig(
-            fasta_path=str(w["fa"]),
-            sample1_path=str(w["fq1"]),
-            sample2_path=str(w["fq2"]) if w["fq2"] else "",
-            out1_path=str(tmp_path / f"{mode}.1.fq"),
-            out2_path=str(tmp_path / f"{mode}.2.fq") if w["fq2"] else "",
-            ssv_path=str(tmp_path / f"{mode}.ssv"),
-            k=w["k"],
-            min_quality=w["minq"],
-            batch_size=32,
-            max_read_len=256,
-            use_native=(mode != "python"),
-            backend="native" if mode == "host" else "",
-            probe=probe,
-            threads=int(rng.integers(1, 4)) if mode == "host" else 1,
-        )
-        run_pipeline(cfg)
-        outs[mode] = {
-            "ssv": (tmp_path / f"{mode}.ssv").read_text(),
-            "fq1": (tmp_path / f"{mode}.1.fq").read_bytes(),
-            "fq2": (
-                (tmp_path / f"{mode}.2.fq").read_bytes() if w["fq2"] else b""
-            ),
-        }
-    for mode in outs:
-        assert outs[mode]["ssv"] == want, f"{mode} ssv != oracle"
-    for mode in ("python", "host"):
-        assert outs[mode]["fq1"] == outs["native"]["fq1"], f"{mode} fq1"
-        assert outs[mode]["fq2"] == outs["native"]["fq2"], f"{mode} fq2"
 
 
 def main() -> int:
@@ -95,7 +53,7 @@ def main() -> int:
         seed = start + i
         with tempfile.TemporaryDirectory() as tmp:
             try:
-                run_seed(fuzz, seed, tmp)
+                fuzz.run_three_way(tmp, seed)
                 print(
                     f"[soak] seed {seed} ok "
                     f"({i + 1}/{n}, {time.time() - t0:.0f}s)",

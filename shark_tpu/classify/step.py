@@ -670,6 +670,20 @@ def probe_rank(bf_rank: jnp.ndarray, word_idx, bit_off, win_valid):
     return jnp.where(hit, rank.astype(jnp.int32), 0), hit
 
 
+def decode_pay_words(w0: jnp.ndarray, w1: jnp.ndarray):
+    """(tag, payload) from a build_pay 8-byte row's two u32 words — THE
+    bit-layout decode, shared by the classic probe and the sharded-BF
+    reply wire (which routes the same rows over all_to_all) so the two
+    paths cannot diverge. Zeroed words decode to tag 0 = miss."""
+    tagv = w0 >> 30
+    payv = jnp.where(
+        tagv == TAG_ROW,
+        w1,
+        (w0 & jnp.uint32(0xFFFF)) | ((w1 & jnp.uint32(0xFFFF)) << 16),
+    )
+    return tagv, payv
+
+
 def probe_tags(dix: DeviceIndex, word_idx, bit_off, win_valid):
     """Classic two-gather probe to (tag, payload) per window.
 
@@ -678,15 +692,9 @@ def probe_tags(dix: DeviceIndex, word_idx, bit_off, win_valid):
     hashed front-end (TAG_* constants)."""
     r, hit = probe_rank(dix.bf_rank, word_idx, bit_off, win_valid)
     pw = take_rows(dix.pay, r)
-    w0 = pw[..., 0]
-    w1 = pw[..., 1]
-    tagv = jnp.where(hit, w0 >> 30, 0)
-    payv = jnp.where(
-        tagv == TAG_ROW,
-        w1,
-        (w0 & jnp.uint32(0xFFFF)) | ((w1 & jnp.uint32(0xFFFF)) << 16),
+    return decode_pay_words(
+        jnp.where(hit, pw[..., 0], jnp.uint32(0)), pw[..., 1]
     )
-    return tagv, payv
 
 
 def keys_from_gm(

@@ -196,7 +196,10 @@ def load_tables(
         from shark_tpu.classify.hashed import HashedMeta
 
         hmeta = HashedMeta(**rec["hmeta"])
-    except (OSError, ValueError, KeyError, TypeError) as e:
+    except (OSError, ValueError, KeyError, TypeError, EOFError) as e:
+        # EOFError: np.load on a ZERO-length .npy (a torn write surfaced
+        # by power loss) raises EOFError, not ValueError — missing it
+        # would crash every classifier construction instead of rebuilding
         print(
             f"[shark-tpu] probe-table cache unreadable ({e}); rebuilding",
             file=sys.stderr,
@@ -233,7 +236,11 @@ def save_tables_async(
             crc = {}
             for name, arr in zip(_ARRAYS[kind], arrs):
                 arr = np.ascontiguousarray(arr)
-                np.save(os.path.join(tmp, name + ".npy"), arr)
+                path = os.path.join(tmp, name + ".npy")
+                with open(path, "wb") as f:
+                    np.save(f, arr)
+                    f.flush()
+                    os.fsync(f.fileno())  # data durable BEFORE the rename
                 crc[name] = zlib.crc32(arr)
             with open(os.path.join(tmp, "meta.json"), "w") as f:
                 json.dump(
@@ -245,10 +252,19 @@ def save_tables_async(
                     },
                     f,
                 )
+                f.flush()
+                os.fsync(f.fileno())
             if os.path.isdir(cache_dir):
                 shutil.rmtree(cache_dir)
             os.replace(tmp, cache_dir)
         except BaseException as e:  # noqa: BLE001 - surfaced on join
+            # the serving path never joins (only bench/tests do) — say
+            # WHY the cache keeps not materializing instead of silently
+            # re-paying the cold pack on every start
+            print(
+                f"[shark-tpu] probe-table cache write failed: {e}",
+                file=sys.stderr,
+            )
             err.append(e)
 
     th = threading.Thread(target=_bg, daemon=False)

@@ -61,11 +61,11 @@ from typing import NamedTuple, Optional
 
 from shark_tpu.classify.step import (
     MAX_SIZE_BITS,
-    TAG_ROW,
     StaticMeta,
     bloom_positions,
     build_pay,
     build_rows3,
+    decode_pay_words,
     emit_threshold_table,
     finish_from_tags,
     group_info,
@@ -260,14 +260,7 @@ def _route_probe_return(
         jnp.where(ok[:, None], vals, 0), mode="drop"
     )
     pw2 = flat_pw.reshape(b, L, 2)
-    w0 = pw2[..., 0]
-    w1 = pw2[..., 1]
-    tagv = w0 >> 30
-    payv = jnp.where(
-        tagv == TAG_ROW,
-        w1,
-        (w0 & jnp.uint32(0xFFFF)) | ((w1 & jnp.uint32(0xFFFF)) << 16),
-    )
+    tagv, payv = decode_pay_words(pw2[..., 0], pw2[..., 1])
     return tagv, payv, overflow
 
 

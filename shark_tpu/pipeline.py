@@ -479,6 +479,48 @@ def _write_progress(path: str, cfg: SharkConfig, reads_done: int, offsets, count
     os.replace(tmp, path)
 
 
+def _resume_state(cfg: SharkConfig):
+    """--resume bookkeeping shared by the native classify paths:
+    (progress_path, reads_done0, base_associations, base_reads_out).
+    Validates the checkpointable-output constraints; all zeros/empty when
+    resume is off or no sidecar matches this run's identity."""
+    if not cfg.resume:
+        return "", 0, 0, 0
+    if not cfg.ssv_path:
+        raise ValueError(
+            "--resume requires --ssv FILE (stdout cannot be checkpointed)"
+        )
+    if cfg.out1_path.endswith(".gz") or cfg.out2_path.endswith(".gz"):
+        raise ValueError(
+            "--resume requires uncompressed output FASTQs (gzip cannot "
+            "be truncated mid-member)"
+        )
+    progress_path = cfg.ssv_path + ".progress"
+    st0 = _load_progress(progress_path, cfg)
+    if st0 is None:
+        return progress_path, 0, 0, 0
+    return (
+        progress_path,
+        int(st0["reads_done"]),
+        int(st0.get("n_associations", 0)),
+        int(st0.get("n_reads_out", 0)),
+    )
+
+
+def _skip_resumed(ns, skip_left: int) -> None:
+    """Consume the already-classified read prefix at parse speed (release
+    each slot unclassified — no device/classify work, no output)."""
+    while skip_left > 0:
+        nb = ns.next_batch()
+        if nb is None or nb[-1] > skip_left:
+            raise ValueError(
+                "resume checkpoint claims more classified reads than "
+                "the sample holds at this batch size"
+            )
+        ns.release(nb[-2])
+        skip_left -= nb[-1]
+
+
 def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     """Fast path: parse/encode/write in the native C++ engine, device in a
     DEPTH-deep software pipeline. Requires a fixed max_read_len.
@@ -491,26 +533,9 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     has no recovery story (SURVEY §5); a crash there restarts from zero."""
     from shark_tpu.io.native import NativeStream
 
-    progress_path = ""
-    reads_done0 = 0
-    base_assoc = 0
-    base_reads_out = 0
-    if cfg.resume:
-        if not cfg.ssv_path:
-            raise ValueError(
-                "--resume requires --ssv FILE (stdout cannot be checkpointed)"
-            )
-        if cfg.out1_path.endswith(".gz") or cfg.out2_path.endswith(".gz"):
-            raise ValueError(
-                "--resume requires uncompressed output FASTQs (gzip cannot "
-                "be truncated mid-member)"
-            )
-        progress_path = cfg.ssv_path + ".progress"
-        st0 = _load_progress(progress_path, cfg)
-        if st0 is not None:
-            reads_done0 = int(st0["reads_done"])
-            base_assoc = int(st0.get("n_associations", 0))
-            base_reads_out = int(st0.get("n_reads_out", 0))
+    progress_path, reads_done0, base_assoc, base_reads_out = _resume_state(
+        cfg
+    )
 
     use_packed = hasattr(classifier, "call_packed") and cfg.max_read_len % 8 == 0
     ns = NativeStream(
@@ -653,18 +678,7 @@ def _run_native(cfg: SharkConfig, index: SharkIndex, classifier, timer) -> dict:
     n_batches = 0
     group: List[tuple] = []
     try:
-        # resume: consume the already-classified reads at parse speed
-        # (release each slot unclassified — no device work, no output)
-        skip_left = reads_done0
-        while skip_left > 0:
-            nb = ns.next_batch()
-            if nb is None or nb[-1] > skip_left:
-                raise ValueError(
-                    "resume checkpoint claims more classified reads than "
-                    "the sample holds at this batch size"
-                )
-            ns.release(nb[-2])
-            skip_left -= nb[-1]
+        _skip_resumed(ns, reads_done0)
 
         while not drain_err:
             nb = ns.next_batch()
@@ -758,26 +772,9 @@ def _run_native_host(cfg: SharkConfig, index: SharkIndex, timer: PhaseTimer) -> 
     input-order output regardless of thread count."""
     from shark_tpu.io.native import NativeStream, host_classify
 
-    progress_path = ""
-    reads_done0 = 0
-    base_assoc = 0
-    base_reads_out = 0
-    if cfg.resume:
-        if not cfg.ssv_path:
-            raise ValueError(
-                "--resume requires --ssv FILE (stdout cannot be checkpointed)"
-            )
-        if cfg.out1_path.endswith(".gz") or cfg.out2_path.endswith(".gz"):
-            raise ValueError(
-                "--resume requires uncompressed output FASTQs (gzip cannot "
-                "be truncated mid-member)"
-            )
-        progress_path = cfg.ssv_path + ".progress"
-        st0 = _load_progress(progress_path, cfg)
-        if st0 is not None:
-            reads_done0 = int(st0["reads_done"])
-            base_assoc = int(st0.get("n_associations", 0))
-            base_reads_out = int(st0.get("n_reads_out", 0))
+    progress_path, reads_done0, base_assoc, base_reads_out = _resume_state(
+        cfg
+    )
 
     ns = NativeStream(
         cfg.sample1_path,
@@ -798,16 +795,7 @@ def _run_native_host(cfg: SharkConfig, index: SharkIndex, timer: PhaseTimer) -> 
         warm_s = timer.elapsed()
 
         n_reads = 0
-        skip_left = reads_done0
-        while skip_left > 0:
-            nb = ns.next_batch()
-            if nb is None or nb[-1] > skip_left:
-                raise ValueError(
-                    "resume checkpoint claims more classified reads than "
-                    "the sample holds at this batch size"
-                )
-            ns.release(nb[-2])
-            skip_left -= nb[-1]
+        _skip_resumed(ns, reads_done0)
         while True:
             nb = ns.next_batch()
             if nb is None:
@@ -1078,7 +1066,14 @@ def _probe_opts(cfg: SharkConfig) -> dict:
     sibling "<index>.tables" directory (classify/table_cache.py: content-
     digest keyed, crc-verified — a stale or corrupt cache is detected and
     rebuilt), shaving the ~10 s cold xl pack off warm starts."""
-    opts = {"threads": cfg.threads} if cfg.threads > 1 else {}
+    import os as _os
+
+    default_t = min(4, _os.cpu_count() or 1)
+    # -t never LOWERS the build below its min(4, cpu) default (e.g. -t 2
+    # as a host-I/O choice must not halve the cold xl pack's parallelism)
+    opts = (
+        {"threads": max(cfg.threads, default_t)} if cfg.threads > 1 else {}
+    )
     idx_path = cfg.load_index or cfg.save_index
     if idx_path:
         opts["cache_dir"] = idx_path.rstrip("/") + ".tables"
@@ -1130,6 +1125,19 @@ def _run_pipeline_inner(
             raise ValueError(
                 "--backend native streams output through the native "
                 "engine; ssv_stream / device classifiers do not apply"
+            )
+        # device-mesh flags would be SILENTLY skipped by this early
+        # return; a user asking for them wants the device path — say so
+        if cfg.sharded_bf or cfg.devices > 1:
+            raise ValueError(
+                "--backend native is the single-host pure-CPU path; "
+                "--sharded-bf/--devices require a device backend"
+            )
+        if cfg.probe != "auto":
+            print(
+                "[shark-tpu] note: --probe selects a DEVICE table layout; "
+                "--backend native classifies on the CPU and ignores it",
+                file=sys.stderr,
             )
         native_len = cfg.max_read_len
         if not native_len:

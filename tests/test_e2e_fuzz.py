@@ -126,16 +126,17 @@ def _oracle_ssv(w):
     return "".join(lines)
 
 
-@pytest.mark.parametrize(
-    "seed",
-    [
-        # ~15s/seed (two 1 GiB index builds each); keep the fast suite
-        # lean and push the deeper sweep to the slow marker
-        *range(3),
-        *(pytest.param(s, marks=pytest.mark.slow) for s in range(3, 6)),
-    ],
-)
-def test_e2e_differential_fuzz(tmp_path, seed):
+def run_three_way(tmp_path, seed: int) -> None:
+    """ONE fuzz seed's full differential: generate a random workload, run
+    three complete pipelines — the native host engine feeding the device
+    kernel, the pure-Python I/O path feeding the same kernel, and the
+    --backend native pure-CPU C++ classify (shk_host_classify) — and
+    assert every output equals the oracle ssv / each other's FASTQs.
+    Shared verbatim by the pytest gate below and scripts/fuzz_soak.py so
+    the round-closing soak can never certify less than the gate."""
+    from pathlib import Path
+
+    tmp_path = Path(tmp_path)
     rng = np.random.default_rng(1000 + seed)
     w = _random_workload(rng, tmp_path, seed)
     want = _oracle_ssv(w)
@@ -145,12 +146,7 @@ def test_e2e_differential_fuzz(tmp_path, seed):
     probe = str(rng.choice(["auto", "classic", "xl"]))
 
     outs = {}
-    # three full pipelines per seed: the native host engine feeding the
-    # device kernel, the pure-Python I/O path feeding the same kernel,
-    # and the --backend native pure-CPU C++ classify (shk_host_classify)
     for mode in ("native", "python", "host"):
-        if mode in ("native", "host") and not native.available():
-            pytest.skip("native engine unavailable")
         cfg = SharkConfig(
             fasta_path=str(w["fa"]),
             sample1_path=str(w["fq1"]),
@@ -166,6 +162,8 @@ def test_e2e_differential_fuzz(tmp_path, seed):
             max_read_len=256,
             use_native=(mode != "python"),
             backend="native" if mode == "host" else "",
+            # --probe is a device-layout hint; the host mode prints a
+            # note and classifies on the CPU
             probe=probe,
             threads=int(rng.integers(1, 4)) if mode == "host" else 1,
         )
@@ -192,3 +190,18 @@ def test_e2e_differential_fuzz(tmp_path, seed):
     assert outs["native"]["fq2"] == outs["python"]["fq2"]
     assert outs["host"]["fq1"] == outs["native"]["fq1"]
     assert outs["host"]["fq2"] == outs["native"]["fq2"]
+
+
+@pytest.mark.parametrize(
+    "seed",
+    [
+        # ~15s/seed (two 1 GiB index builds each); keep the fast suite
+        # lean and push the deeper sweep to the slow marker
+        *range(3),
+        *(pytest.param(s, marks=pytest.mark.slow) for s in range(3, 6)),
+    ],
+)
+def test_e2e_differential_fuzz(tmp_path, seed):
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    run_three_way(tmp_path, seed)
