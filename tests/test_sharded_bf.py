@@ -329,6 +329,73 @@ def _decode(code_row):
     return sym[code_row[:last]].tobytes()
 
 
+@pytest.mark.parametrize(
+    "seed",
+    [
+        *range(2),
+        *(pytest.param(s, marks=pytest.mark.slow) for s in range(2, 6)),
+    ],
+)
+def test_sharded_fuzz_matches_single(seed):
+    """Randomized sharded-vs-single equality on the 8-device mesh: random
+    gene counts/filter sizes (collision-heavy), reads with Ns, BOTH
+    routers (int32 and the wide limb path), byte and packed wire formats
+    — the redesigned 8-byte (tag, payload) wire must match the
+    single-chip classifier bit for bit on every verdict output."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from shark_tpu.parallel.sharded_bf import ShardedBFClassifier
+
+    rng = np.random.default_rng(500 + seed)
+    k = int(rng.choice([11, 13, 17]))
+    size_bits = 1 << int(rng.integers(13, 17))
+    n_genes = int(rng.integers(4, 40))
+    records = []
+    for g in range(n_genes):
+        seq = BASES[rng.integers(0, 4, size=int(rng.integers(k + 10, 400)))]
+        records.append((f"G{g}", seq.tobytes()))
+    index = build_index(records, k, size_bits)
+    L = int(rng.choice([64, 96, 128]))
+    B = 8 * int(rng.integers(4, 24))
+    codes = np.full((B, L), 4, dtype=np.uint8)
+    for i in range(B):
+        _, seq = records[rng.integers(0, n_genes)]
+        rl = min(len(seq), int(rng.integers(k, L)))
+        start = int(rng.integers(0, len(seq) - rl + 1))
+        arr = np.frombuffer(seq[start : start + rl], np.uint8).copy()
+        mut = rng.random(arr.size) < 0.05
+        arr[mut] = rng.choice(
+            np.frombuffer(b"ACGTN", np.uint8), size=int(mut.sum())
+        )
+        codes[i, : arr.size] = encode_bytes(arr.tobytes())
+    single = Classifier(index, max_winners=8, c=0.6)
+    ref = [np.asarray(x) for x in single(codes)]
+    wide = bool(rng.integers(0, 2))
+    clf = ShardedBFClassifier(
+        index, max_winners=8, c=0.6, n_devices=8, force_wide=wide
+    )
+    got = [np.asarray(x) for x in clf(codes)]
+    assert int(got[4].sum()) == 0, "probe bucket overflow"
+    for name, a, b in zip(("packed", "winners", "best_cov", "length"), ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=f"{name} (wide={wide})")
+    # packed planar wire must agree with the byte wire
+    L4, L8 = L // 4, L // 8
+    packed = np.zeros((B, L4), dtype=np.uint8)
+    vmask = np.zeros((B, L8), dtype=np.uint8)
+    for i in range(L):
+        c = codes[:, i]
+        v = c < 4
+        packed[:, i % L4] |= np.where(v, c, 0).astype(np.uint8) << (
+            2 * (i // L4)
+        )
+        vmask[:, i % L8] |= v.astype(np.uint8) << (i // L8)
+    got_p = [np.asarray(x) for x in clf.call_packed(packed, vmask)]
+    for a, b in zip(got, got_p):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_sharded_overflow_detection(workload):
     """With absurdly small slack the overflow counter must fire (not crash)."""
     import jax
