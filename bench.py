@@ -428,7 +428,41 @@ def main() -> None:
             log(f"WARNING: device-only measure failed ({prefix or 'single'}): {e}")
 
     base = run_baseline(fasta, fastq)
-    ours = run_tpu(fasta, fastq)
+    # The tunneled TPU backend has transient outages ("Unable to
+    # initialize backend 'axon': UNAVAILABLE", observed 2026-08-21 —
+    # killed a full bench at first device contact). The PRIMARY metric is
+    # the artifact contract, so retry the first device run with backoff
+    # instead of dying; later stages are already exception-guarded.
+    ours = None
+    for attempt in range(4):
+        try:
+            ours = run_tpu(fasta, fastq)
+            break
+        except RuntimeError as e:
+            if "nable to initialize backend" not in str(e):
+                raise
+            if attempt == 3:
+                # backend down for the whole retry window: an artifact
+                # with an explicit error beats an empty file — value 0 +
+                # "error" cannot be misread as a measured regression
+                out = {
+                    "metric": "reads_per_sec",
+                    "value": 0.0,
+                    "unit": "reads/s",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU backend unavailable after 4 attempts: {e}",
+                    "baseline_reads_per_sec": round(
+                        base["reads_per_sec"], 1
+                    ),
+                }
+                print(json.dumps(out))
+                sys.exit(1)
+            wait = 60 * (attempt + 1)
+            log(
+                f"TPU backend unavailable (attempt {attempt + 1}); "
+                f"retrying in {wait}s: {e}"
+            )
+            time.sleep(wait)
     if ours["n_associations"] != base["n_associations"]:
         log(
             "WARNING: association count mismatch: "
