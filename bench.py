@@ -428,6 +428,20 @@ def main() -> None:
             log(f"WARNING: device-only measure failed ({prefix or 'single'}): {e}")
 
     base = run_baseline(fasta, fastq)
+    # Seed the SIGTERM-partial artifact BEFORE first device contact: an
+    # init HANG (the other observed outage shape — jax.devices() blocking
+    # >25 min) ends via the driver's timeout, and the handler would
+    # otherwise print an empty {}. The success path overwrites this whole
+    # dict (primary_out), clearing the error marker.
+    out = {
+        "metric": "reads_per_sec",
+        "value": 0.0,
+        "unit": "reads/s",
+        "vs_baseline": 0.0,
+        "error": "partial: killed before the first TPU pass completed "
+                 "(backend outage or timeout)",
+        "baseline_reads_per_sec": round(base["reads_per_sec"], 1),
+    }
     # The tunneled TPU backend has transient outages ("Unable to
     # initialize backend 'axon': UNAVAILABLE", observed 2026-08-21 —
     # killed a full bench at first device contact). The PRIMARY metric is
